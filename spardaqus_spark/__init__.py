@@ -1,0 +1,15 @@
+"""spardaqus_spark — a PySpark-native code-corpus quality pipeline.
+
+A brand-new engine (NOT a port) with the capabilities mandated by
+BASELINE.json / SURVEY.md: language-ID + perplexity + declarative heuristic
+rules -> keep/drop verdict, PII/toxicity scrub, explicit repo-hash
+bucketing with skew salting, per-partition lineage, checkpoint/resume.
+
+Provenance: /root/reference is empty (SURVEY.md §0.1); semantics are pinned
+in SURVEY.md §2.9 and implemented once in `spardaqus_spark.kernels.*`,
+shared verbatim by the single-process oracle (`oracle.py`) and the Spark
+stages (`operators/stages.py`) so that distributed output is byte-identical
+to the reference labels by construction.
+"""
+
+__version__ = "0.1.0"

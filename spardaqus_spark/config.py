@@ -1,0 +1,104 @@
+"""Declarative pipeline configuration (Spardaqus-inspired, SURVEY.md §2.6).
+
+YAML -> frozen dataclasses. The rule grammar:
+
+    rules:                      # evaluation order = file order (pinned)
+      - name: long_lines
+        metric: max_line_len    # any column of files_scored
+        op: ">"                 # > >= < <= == != in not_in between
+        threshold: 1000
+        action: drop            # drop | flag
+    verdict: all_pass
+
+A row is kept iff NO ``action: drop`` rule fires (§2.9.7); ``rule_hits``
+lists every fired rule (drop or flag) in config order.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+import yaml
+
+OPS = {">", ">=", "<", "<=", "==", "!=", "in", "not_in", "between"}
+
+
+@dataclass(frozen=True)
+class Rule:
+    name: str
+    metric: str
+    op: str
+    threshold: Any
+    action: str = "drop"
+
+    def __post_init__(self) -> None:
+        if self.op not in OPS:
+            raise ValueError(f"rule {self.name}: unknown op {self.op!r}")
+        if self.action not in ("drop", "flag"):
+            raise ValueError(f"rule {self.name}: unknown action {self.action!r}")
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    rules: tuple[Rule, ...]
+    verdict: str = "all_pass"
+    num_buckets: int = 64
+    salt_k: int = 8
+    hot_repo_threshold: int = 10_000
+    arrow_batch_size: int = 512
+    lexicon_path: str | None = None
+    input_path: str | None = None
+    output_path: str | None = None
+    table_format: str = "parquet"  # parquet | iceberg (prod)
+
+    @property
+    def drop_rules(self) -> tuple[Rule, ...]:
+        return tuple(r for r in self.rules if r.action == "drop")
+
+
+DEFAULT_RULES = (
+    Rule("long_lines", "max_line_len", ">", 1000),
+    Rule("low_alnum", "alnum_ratio", "<", 0.25),
+    Rule("dup_lines", "dup_line_frac", ">", 0.5),
+    Rule("autogen", "autogen", "==", True),
+    Rule("high_ppl", "ppl", ">", 400.0),
+    Rule("langid", "lang_pred", "not_in", ["de", "en", "es", "fr"]),
+)
+
+
+def default_config(**overrides: Any) -> PipelineConfig:
+    kw: dict[str, Any] = {"rules": DEFAULT_RULES}
+    kw.update(overrides)
+    return PipelineConfig(**kw)
+
+
+def load_config(path: str | Path) -> PipelineConfig:
+    raw = yaml.safe_load(Path(path).read_text()) or {}
+    rules = tuple(
+        Rule(
+            name=r["name"],
+            metric=r["metric"],
+            op=str(r["op"]),
+            threshold=r["threshold"],
+            action=r.get("action", "drop"),
+        )
+        for r in raw.get("rules", [])
+    ) or DEFAULT_RULES
+    keys = {
+        k: raw[k]
+        for k in (
+            "verdict",
+            "num_buckets",
+            "salt_k",
+            "hot_repo_threshold",
+            "arrow_batch_size",
+            "lexicon_path",
+            "input_path",
+            "output_path",
+            "table_format",
+        )
+        if k in raw
+    }
+    return PipelineConfig(rules=rules, **keys)

@@ -1,0 +1,14 @@
+"""Pure pandas/NumPy kernels — the pinned semantics of SURVEY.md §2.9.
+
+Every kernel here is a plain function over pandas/NumPy containers with NO
+Spark dependency. The same bytes run in two places:
+
+1. single-process, inside ``spardaqus_spark.oracle`` — producing the
+   "reference labels" (SURVEY.md §0.3);
+2. distributed, inside Arrow-batched ``mapInPandas`` / iterator pandas UDF
+   stages (``spardaqus_spark.operators.stages``).
+
+Because both paths execute the identical float64 NumPy code, keep/drop F1
+and scrub byte-equality are exact by construction; any divergence is a
+distributed-execution bug (batching, partitioning, Arrow round-trip).
+"""

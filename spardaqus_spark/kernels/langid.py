@@ -1,0 +1,79 @@
+"""Language identification: hashed char-trigram linear classifier.
+
+fastText-style (Joulin et al. 2016 — hashed n-grams + linear model) but
+rebuilt as pure NumPy so the identical float64 code runs in the oracle and
+inside iterator pandas UDFs (SURVEY.md §2.5 `langid`). No fasttext binary
+exists in the sandbox (SURVEY.md App. A).
+
+Pinned semantics (SURVEY.md §2.9.4):
+- text is lowercased, truncated to MAX_CHARS codepoints;
+- score = mean per-trigram log P(bucket | lang), multinomial NB with add-1
+  smoothing over DIM buckets, float64 throughout;
+- scores and confidences are ROUNDED to 9 decimals: BLAS reassociates the
+  count-x-logprob dot product differently per batch shape (last-ulp drift),
+  and the pinned contract must be independent of Arrow batch size;
+- prediction = argmax; ties -> lexicographically smallest label (labels are
+  stored sorted, np.argmax returns the first = smallest);
+- confidence = softmax over the mean-log-prob scores;
+- texts with < 3 codepoints -> ("und", 0.0).
+
+The model is trained deterministically at first use from the frozen seed
+texts (kernels/seeds.py) and cached per process — the iterator-UDF pattern
+loads it once per Python worker.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from . import seeds, textnum
+
+DIM = 2048
+MAX_CHARS = 4000
+_MODEL: tuple[list[str], np.ndarray] | None = None
+
+
+def train_model() -> tuple[list[str], np.ndarray]:
+    """(labels sorted lexicographically, W[L, DIM] log-prob matrix)."""
+    labels = sorted(seeds.LANGS)
+    rows = []
+    for lang in labels:
+        text = seeds.seed_text(lang).lower()
+        codes, row_id, _ = textnum.flatten_codepoints(pd.Series([text]))
+        buckets, gram_rows = textnum.ngram_buckets(codes, row_id, 3, DIM)
+        counts = np.bincount(buckets, minlength=DIM).astype(np.float64)
+        logp = np.log(counts + 1.0) - np.log(counts.sum() + DIM)
+        rows.append(logp)
+    return labels, np.stack(rows)
+
+
+def get_model() -> tuple[list[str], np.ndarray]:
+    global _MODEL
+    if _MODEL is None:
+        _MODEL = train_model()
+    return _MODEL
+
+
+def predict(content: pd.Series) -> pd.DataFrame:
+    """Batch langid -> DataFrame(lang_pred: str, lang_conf: float64)."""
+    labels, W = get_model()
+    s = content.fillna("").astype(str).str.slice(0, MAX_CHARS).str.lower()
+    n = len(s)
+    codes, row_id, _ = textnum.flatten_codepoints(s)
+    buckets, gram_rows = textnum.ngram_buckets(codes, row_id, 3, DIM)
+    counts = textnum.bucket_count_matrix(buckets, gram_rows, n, DIM)
+    totals = counts.sum(axis=1)
+    # mean per-trigram log-prob per class; rows with no trigrams score 0
+    scores = np.round(counts @ W.T / np.maximum(totals, 1.0)[:, None], 9)
+    pred_idx = np.argmax(scores, axis=1)
+    m = scores.max(axis=1, keepdims=True)
+    sm = np.exp(scores - m)
+    conf = np.round(sm.max(axis=1) / sm.sum(axis=1), 9)
+    lang = np.array(labels, dtype=object)[pred_idx]
+    short = totals < 1.0
+    lang[short] = "und"
+    conf = np.where(short, 0.0, conf)
+    return pd.DataFrame(
+        {"lang_pred": pd.Series(lang, dtype=object), "lang_conf": conf}
+    )

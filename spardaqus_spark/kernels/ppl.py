@@ -1,0 +1,95 @@
+"""Perplexity: KenLM-style interpolated char-trigram LM, pure NumPy.
+
+Heafield 2011 defines the production tool; the sandbox has no kenlm, so the
+LM is rebuilt from scratch as hashed count tables (SURVEY.md §2.5
+`perplexity`). Pinned semantics (SURVEY.md §2.9.5):
+
+- char-level, text truncated to MAX_CHARS codepoints, NOT lowercased;
+- ppl = exp(-mean(log p(c_i | c_{i-2}, c_{i-1}))) over positions i >= 2;
+- p = 0.1*p1 + 0.3*p2 + 0.6*p3, each component clipped to <= 1.0
+  (hash-bucket collisions can push raw ratios over 1):
+    p1 = (T1[u] + 1) / (N + D1)          add-1 floor on unigrams
+    p2 = (T2[b] + 1) / (T1[u_prev] + D1)
+    p3 = (T3[t] + 1) / (T2[b_prev] + D2)
+- float64 throughout; texts with < 3 codepoints -> ppl = 0.0 (never drops).
+
+Trained deterministically at first use from the frozen seed texts plus the
+code-token pool (kernels/seeds.py), cached per process (iterator-UDF model
+-load-once pattern).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from . import seeds, textnum
+
+D1, D2, D3 = 1024, 8192, 32768
+MAX_CHARS = 8000
+_MODEL: tuple[np.ndarray, np.ndarray, np.ndarray, float] | None = None
+
+
+def _train_text() -> str:
+    parts = [seeds.seed_text(lang) for lang in sorted(seeds.LANGS)]
+    for ext in sorted(seeds.CODE_TOKENS):
+        toks = seeds.CODE_TOKENS[ext]
+        parts.append("\n".join(" ".join(toks) for _ in range(30)))
+    return "\n".join(parts)
+
+
+def train_model() -> tuple[np.ndarray, np.ndarray, np.ndarray, float]:
+    text = _train_text()
+    codes, row_id, _ = textnum.flatten_codepoints(pd.Series([text]))
+    u, ur = textnum.ngram_buckets(codes, row_id, 1, D1)
+    b, br = textnum.ngram_buckets(codes, row_id, 2, D2)
+    t, tr = textnum.ngram_buckets(codes, row_id, 3, D3)
+    T1 = np.bincount(u, minlength=D1).astype(np.float64)
+    T2 = np.bincount(b, minlength=D2).astype(np.float64)
+    T3 = np.bincount(t, minlength=D3).astype(np.float64)
+    return T1, T2, T3, float(T1.sum())
+
+
+def get_model() -> tuple[np.ndarray, np.ndarray, np.ndarray, float]:
+    global _MODEL
+    if _MODEL is None:
+        _MODEL = train_model()
+    return _MODEL
+
+
+def perplexity(content: pd.Series) -> pd.Series:
+    """Batch ppl -> float64 Series aligned 0..n-1."""
+    T1, T2, T3, N = get_model()
+    s = content.fillna("").astype(str).str.slice(0, MAX_CHARS)
+    n = len(s)
+    codes, row_id, _ = textnum.flatten_codepoints(s)
+    L = len(codes)
+    if L < 3:
+        return pd.Series(np.zeros(n, dtype=np.float64))
+    # Uncompacted per-position hash arrays over the flat concatenation
+    # (the trigram validity mask below guarantees every indexed position
+    # lies within one row, so boundary-crossing uni/bi values are never read).
+    P = np.uint64(1000003)
+    uni_full = (codes % np.uint64(D1)).astype(np.int64)            # len L
+    bi_full = ((codes[:-1] * P + codes[1:]) % np.uint64(D2)).astype(np.int64)
+    tri_full = (
+        ((codes[:-2] * P + codes[1:-1]) * P + codes[2:]) % np.uint64(D3)
+    ).astype(np.int64)
+    valid3 = row_id[: L - 2] == row_id[2:]
+    if not valid3.any():
+        return pd.Series(np.zeros(n, dtype=np.float64))
+    pos = np.arange(L - 2)[valid3]
+    tri = tri_full[pos]
+    tri_rows = row_id[pos]
+    u_cur = uni_full[pos + 2]         # unigram bucket of c_i
+    u_prev = uni_full[pos + 1]        # unigram bucket of c_{i-1}
+    b_prev = bi_full[pos]             # bigram bucket of (c_{i-2}, c_{i-1})
+    b_cur = bi_full[pos + 1]          # bigram bucket of (c_{i-1}, c_i)
+    p1 = (T1[u_cur] + 1.0) / (N + D1)
+    p2 = np.minimum((T2[b_cur] + 1.0) / (T1[u_prev] + D1), 1.0)
+    p3 = np.minimum((T3[tri] + 1.0) / (T2[b_prev] + D2), 1.0)
+    logp = np.log(0.1 * p1 + 0.3 * p2 + 0.6 * p3)
+    sums = np.bincount(tri_rows, weights=logp, minlength=n)
+    cnts = np.bincount(tri_rows, minlength=n).astype(np.float64)
+    out = np.where(cnts > 0, np.exp(-sums / np.maximum(cnts, 1.0)), 0.0)
+    return pd.Series(out, dtype="float64")

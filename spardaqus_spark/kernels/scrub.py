@@ -1,0 +1,102 @@
+"""PII + toxicity scrub kernel (SURVEY.md §2.5 `scrub`, §2.9.6 pinned).
+
+BigCode-PII-style categories (Li et al. 2023) rebuilt from scratch. The
+byte-reproducibility contract (BASELINE.json:15 — sha256 equality per row)
+is held by pinning SEMANTICS, not library behavior:
+
+- patterns are applied in the FIXED order
+  email -> ipv4 -> ipv6 -> secret_key -> phone -> card -> toxic lexicon,
+  each pattern replacing ALL its matches (leftmost, non-overlapping — the
+  standard ``re.sub`` scan) before the next pattern runs;
+- replacement tokens are the literals <EMAIL> <IP> <KEY> <PHONE> <CARD> <TOX>;
+- card candidates are 16-digit runs (optional single space/dash group
+  separators) that pass a Luhn check — non-Luhn runs are left untouched
+  (F.luhn_check is absent in this build, SURVEY.md §2.3 note);
+- the toxic lexicon is a fixed word list (conf/toxic_lexicon.txt),
+  whole-word, case-insensitive.
+
+The kernel is batch-oriented: patterns compile once per process (worker),
+then ``pd.Series.str.replace`` drives C-level regex scans over the whole
+Arrow batch. Only the card pattern needs a per-match Python callback (Luhn).
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+from pathlib import Path
+
+import pandas as pd
+
+EMAIL_RE = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+# dotted-quad with digit-run AND dotted-run guards: never matches inside
+# version strings like 1.2.3.4.5 (pinned behavior, see tests/scrub cases)
+IPV4_RE = re.compile(r"(?<!\d)(?<!\d\.)(?:\d{1,3}\.){3}\d{1,3}(?!\d)(?!\.\d)")
+IPV6_RE = re.compile(
+    r"(?<![0-9A-Fa-f:])(?:[0-9A-Fa-f]{1,4}:){3,7}[0-9A-Fa-f]{1,4}(?![0-9A-Fa-f:])"
+)
+KEY_RE = re.compile(r"\b(?:AKIA|ASIA)[0-9A-Z]{16}\b")
+PHONE_RE = re.compile(
+    r"(?<!\d)(?:\+\d{1,2}[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}(?!\d)"
+)
+CARD_RE = re.compile(r"(?<!\d)(?:\d{4}([ -]?)\d{4}\1\d{4}\1\d{4})(?!\d)")
+
+DEFAULT_LEXICON = ["frakking", "gorram", "smegging", "feldercarb", "belgium"]
+
+TOKENS = {
+    "email": "<EMAIL>",
+    "ip": "<IP>",
+    "key": "<KEY>",
+    "phone": "<PHONE>",
+    "card": "<CARD>",
+    "tox": "<TOX>",
+}
+
+
+def luhn_ok(digits: str) -> bool:
+    total = 0
+    for i, ch in enumerate(reversed(digits)):
+        d = ord(ch) - 48
+        if i % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+def _card_sub(m: re.Match) -> str:
+    digits = re.sub(r"[ -]", "", m.group(0))
+    return TOKENS["card"] if luhn_ok(digits) else m.group(0)
+
+
+@lru_cache(maxsize=8)
+def toxic_pattern(lexicon: tuple[str, ...]) -> re.Pattern:
+    words = "|".join(re.escape(w) for w in lexicon)
+    return re.compile(rf"(?i)\b(?:{words})\b")
+
+
+def load_lexicon(path: str | None = None) -> tuple[str, ...]:
+    if path is None:
+        p = Path(__file__).resolve().parents[2] / "conf" / "toxic_lexicon.txt"
+    else:
+        p = Path(path)
+    if p.exists():
+        words = [w.strip() for w in p.read_text().splitlines()]
+        return tuple(w for w in words if w and not w.startswith("#"))
+    return tuple(DEFAULT_LEXICON)
+
+
+def scrub_series(content: pd.Series, lexicon: tuple[str, ...] | None = None) -> pd.Series:
+    """Apply the full pinned scrub chain to a batch. Returns scrubbed text."""
+    if lexicon is None:
+        lexicon = load_lexicon()
+    s = content.fillna("").astype(str)
+    s = s.str.replace(EMAIL_RE, TOKENS["email"], regex=True)
+    s = s.str.replace(IPV4_RE, TOKENS["ip"], regex=True)
+    s = s.str.replace(IPV6_RE, TOKENS["ip"], regex=True)
+    s = s.str.replace(KEY_RE, TOKENS["key"], regex=True)
+    s = s.str.replace(PHONE_RE, TOKENS["phone"], regex=True)
+    s = s.str.replace(CARD_RE, _card_sub, regex=True)
+    s = s.str.replace(toxic_pattern(tuple(lexicon)), TOKENS["tox"], regex=True)
+    return s

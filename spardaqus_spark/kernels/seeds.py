@@ -1,0 +1,67 @@
+"""Deterministic per-language seed material.
+
+Used by BOTH the tiny model trainers (langid, perplexity) and the synthetic
+corpus generator (fixtures), so that model vocabulary and corpus vocabulary
+agree by construction. Pools are deliberately character-distinctive per
+language (accents / umlauts / CJK) so the hashed char-trigram classifier
+separates them cleanly (FIXTURES.md §1).
+
+Everything here is a frozen constant — seed 42 corpus derives from these
+plus sha256(id) (SURVEY.md §2.9.8: no rand()).
+"""
+
+from __future__ import annotations
+
+LANGS = ["de", "en", "es", "fr", "zh"]  # lexicographic order is load-bearing
+ALLOWED_LANGS = ["de", "en", "es", "fr"]
+
+WORDS: dict[str, list[str]] = {
+    "en": [
+        "the", "and", "function", "return", "value", "compute", "data",
+        "result", "while", "import", "should", "never", "always", "update",
+        "handle", "request", "response", "between", "through", "because",
+    ],
+    "fr": [
+        "le", "et", "fonction", "retourner", "valeur", "calculer",
+        "données", "résultat", "pendant", "importer", "toujours", "jamais",
+        "mettre", "à", "jour", "gérer", "requête", "réponse", "entre", "parce",
+    ],
+    "de": [
+        "der", "und", "funktion", "zurückgeben", "wert", "berechnen",
+        "daten", "ergebnis", "während", "importieren", "immer", "niemals",
+        "aktualisieren", "behandeln", "anfrage", "antwort", "zwischen",
+        "durch", "weil", "können",
+    ],
+    "es": [
+        "el", "y", "función", "devolver", "valor", "calcular", "datos",
+        "resultado", "mientras", "importar", "siempre", "nunca",
+        "actualizar", "manejar", "petición", "respuesta", "entre", "porque",
+        "través", "puede",
+    ],
+    "zh": [
+        "函数", "返回", "数值", "计算", "数据", "结果", "循环", "导入",
+        "变量", "定义", "更新", "处理", "请求", "响应", "之间", "因为",
+        "总是", "从不", "可以", "通过",
+    ],
+}
+
+CODE_TOKENS: dict[str, list[str]] = {
+    "py": ["def", "return", "import", "class", "self", "None", "for", "in", "if"],
+    "java": ["public", "static", "void", "class", "new", "int", "String", "final"],
+    "js": ["function", "const", "let", "return", "async", "await", "export"],
+    "go": ["func", "package", "import", "return", "struct", "interface", "err"],
+    "md": ["#", "##", "-", "*", "```", ">"],
+    "txt": ["note:", "todo:", "item", "list", "plan"],
+}
+
+
+def seed_text(lang: str, repeats: int = 60) -> str:
+    """Deterministic training text for one language: the word pool cycled
+    into sentence-ish lines. Same bytes every process (no randomness)."""
+    words = WORDS[lang]
+    lines = []
+    for r in range(repeats):
+        # rotate the pool so trigram contexts vary deterministically
+        rot = words[r % len(words):] + words[: r % len(words)]
+        lines.append(" ".join(rot))
+    return "\n".join(lines)

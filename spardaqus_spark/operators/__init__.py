@@ -1,0 +1,2 @@
+"""Spark-side composite operators (SURVEY.md §2.5): pure DataFrame ->
+DataFrame functions with declared output schemas."""

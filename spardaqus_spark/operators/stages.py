@@ -1,0 +1,120 @@
+"""Pipeline stage operators — the Spark realization of SURVEY.md §2.5.
+
+Each stage is a pure ``DataFrame -> DataFrame`` function. The hot path
+follows the mandate exactly (BASELINE.json:15): Arrow-batched pandas
+kernels (``mapInPandas``) for text work, whole-stage-codegen Column
+expressions for everything else, zero per-row Python UDFs.
+
+Shuffle budget (SURVEY.md §4.2): scoring and scrubbing are NARROW — they
+pipeline over whatever partitioning the bucketize stage established. Only
+bucketize (repartition) and dedup (window over content hash) shuffle.
+
+The scoring stage is FUSED: heuristic metrics + langid + perplexity are
+computed in one ``mapInPandas`` pass so the giant ``content`` column
+crosses the JVM<->Python Arrow boundary exactly once for all three models
+(vs. three crossings for naive chained UDFs — the dominant cost at 100 TB).
+Models are trained/cached once per Python worker process (iterator pattern).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+import pandas as pd
+
+from ..config import PipelineConfig, default_config
+from ..kernels import heuristics, langid, ppl, scrub
+from ..rules import compile_spark
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame
+
+SCORE_FIELDS = (
+    "n_chars bigint, n_lines bigint, max_line_len bigint, avg_line_len double, "
+    "alnum_ratio double, dup_line_frac double, blank_frac double, autogen boolean, "
+    "lang_pred string, lang_conf double, ppl double"
+)
+
+
+def _schema_str(df: "DataFrame") -> str:
+    return ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+
+
+def score(df: "DataFrame", content_col: str = "content") -> "DataFrame":
+    """Fused scoring stage: + heuristic metrics + langid + perplexity.
+
+    One Arrow round-trip of `content`; all other columns pass through.
+    """
+    out_schema = f"{_schema_str(df)}, {SCORE_FIELDS}"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            c = pdf[content_col]
+            m = heuristics.compute_metrics(c)
+            lid = langid.predict(c)
+            out = pdf.copy()
+            for col in m.columns:
+                out[col] = m[col].to_numpy()
+            out["lang_pred"] = lid["lang_pred"].to_numpy()
+            out["lang_conf"] = lid["lang_conf"].to_numpy()
+            out["ppl"] = ppl.perplexity(c).to_numpy()
+            yield out
+
+    return df.mapInPandas(fn, out_schema)
+
+
+def verdict(df: "DataFrame", cfg: PipelineConfig | None = None) -> "DataFrame":
+    """+ rule_keep:boolean, rule_hits:array<string>. Pure codegen — the
+    compiled rule tree runs JVM-side (SURVEY.md §2.6)."""
+    cfg = cfg or default_config()
+    keep_col, hits_col = compile_spark(cfg.rules)
+    return df.withColumn("rule_keep", keep_col).withColumn("rule_hits", hits_col)
+
+
+def with_sha(df: "DataFrame", content_col: str = "content") -> "DataFrame":
+    from pyspark.sql import functions as F
+
+    return df.withColumn("content_sha256", F.sha2(F.col(content_col), 256))
+
+
+def dedup_exact(df: "DataFrame") -> "DataFrame":
+    """+ dup_loser:boolean. Pinned winner = lexicographically smallest
+    (repo, path, commit) per content_sha256 (matches oracle.dedup_flag).
+    This is shuffle #2 (hash partition by content hash)."""
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy("content_sha256").orderBy("repo", "path", "commit")
+    return df.withColumn("dup_loser", F.row_number().over(w) > 1)
+
+
+def final_keep(df: "DataFrame") -> "DataFrame":
+    from pyspark.sql import functions as F
+
+    return df.withColumn("keep", F.col("rule_keep") & ~F.col("dup_loser"))
+
+
+def scrub_stage(df: "DataFrame", cfg: PipelineConfig | None = None,
+                content_col: str = "content") -> "DataFrame":
+    """Rewrite `content` through the pinned scrub chain; + scrubbed_sha256.
+
+    Apply AFTER filtering to kept rows — dropped rows never pay regex cost.
+    Narrow stage: no shuffle, patterns compiled once per worker.
+    """
+    cfg = cfg or default_config()
+    lex = scrub.load_lexicon(cfg.lexicon_path)
+    out_schema = f"{_schema_str(df)}, scrubbed_sha256 string"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = pdf.copy()
+            s = scrub.scrub_series(pdf[content_col], lex)
+            out[content_col] = s.to_numpy()
+            out["scrubbed_sha256"] = s.map(
+                lambda x: hashlib.sha256(x.encode("utf-8")).hexdigest()
+            ).to_numpy()
+            yield out
+
+    return df.mapInPandas(fn, out_schema)

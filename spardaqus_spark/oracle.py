@@ -1,0 +1,91 @@
+"""Single-process reference oracle (SURVEY.md §0.3).
+
+/root/reference is empty, so "reference labels" are produced by THIS module:
+a pure pandas/NumPy pipeline over the pinned semantics of SURVEY.md §2.9,
+with zero Spark dependency. The Spark pipeline must reproduce it exactly
+(keep/drop F1 >= 0.99 — engineered 1.0 — and per-row sha256 byte equality
+of scrubbed content, BASELINE.json:2,14,15).
+
+Both paths call the IDENTICAL kernel functions; the oracle differs only in
+executing them single-process over the whole corpus at once.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+from .config import PipelineConfig, default_config
+from .kernels import heuristics, langid, ppl, scrub
+from .rules import apply_rules_pandas
+
+
+def sha256_hex(s: pd.Series) -> pd.Series:
+    return s.fillna("").astype(str).map(
+        lambda x: hashlib.sha256(x.encode("utf-8")).hexdigest()
+    )
+
+
+def score(df: pd.DataFrame) -> pd.DataFrame:
+    """input (repo,path,commit,lang,content) -> + metrics + langid + ppl."""
+    out = df.reset_index(drop=True).copy()
+    m = heuristics.compute_metrics(out["content"])
+    for c in m.columns:
+        out[c] = m[c].to_numpy()
+    lid = langid.predict(out["content"])
+    out["lang_pred"] = lid["lang_pred"].to_numpy()
+    out["lang_conf"] = lid["lang_conf"].to_numpy()
+    out["ppl"] = ppl.perplexity(out["content"]).to_numpy()
+    return out
+
+
+def dedup_flag(df: pd.DataFrame) -> pd.Series:
+    """True for rows that LOSE exact dedup (pinned winner: lexicographically
+    smallest (repo, path, commit) per content sha256)."""
+    sha = sha256_hex(df["content"])
+    key = pd.DataFrame(
+        {"sha": sha, "repo": df["repo"], "path": df["path"], "commit": df["commit"]}
+    )
+    order = key.sort_values(["sha", "repo", "path", "commit"], kind="mergesort")
+    winner = ~order.duplicated(subset=["sha"], keep="first")
+    return ~winner.sort_index()
+
+
+def run(df: pd.DataFrame, cfg: PipelineConfig | None = None) -> pd.DataFrame:
+    """Full oracle pipeline -> golden frame.
+
+    Columns: input + metrics + lang_pred/lang_conf/ppl + dup_loser + keep +
+    rule_hits + content_sha256 + content_scrubbed + scrubbed_sha256.
+    `keep` is the FINAL verdict (rules AND dedup).
+    """
+    cfg = cfg or default_config()
+    scored = score(df)
+    rule_keep, hits = apply_rules_pandas(cfg.rules, scored)
+    dup_loser = dedup_flag(scored)
+    scored["dup_loser"] = dup_loser.to_numpy()
+    scored["keep"] = rule_keep.to_numpy() & ~dup_loser.to_numpy()
+    scored["rule_hits"] = hits.to_numpy()
+    scored["content_sha256"] = sha256_hex(scored["content"]).to_numpy()
+    lex = scrub.load_lexicon(cfg.lexicon_path)
+    scrubbed = scrub.scrub_series(scored["content"], lex)
+    # dropped rows keep their original bytes (only kept rows are published)
+    scored["content_scrubbed"] = scrubbed.where(scored["keep"], scored["content"]).to_numpy()
+    scored["scrubbed_sha256"] = sha256_hex(scored["content_scrubbed"]).to_numpy()
+    return scored
+
+
+def golden_frame(df: pd.DataFrame, cfg: PipelineConfig | None = None) -> pd.DataFrame:
+    """files_golden per FIXTURES.md §1: the frozen comparison surface."""
+    full = run(df, cfg)
+    g = full[
+        ["repo", "path", "commit", "keep", "rule_hits", "scrubbed_sha256", "content_sha256"]
+    ].copy()
+    g = g.rename(
+        columns={
+            "keep": "expected_keep",
+            "rule_hits": "expected_rule_hits",
+            "scrubbed_sha256": "expected_scrubbed_sha256",
+        }
+    )
+    return g

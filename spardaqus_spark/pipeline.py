@@ -1,0 +1,113 @@
+"""Full batch pipeline composition (SURVEY.md §3.1 / §4.3).
+
+Logical DAG (all lazy — Catalyst optimizes the whole thing as one plan):
+
+    read -> bucketize (shuffle #1) -> sha2 -> dedup window (shuffle #2)
+         -> fused score mapInPandas (narrow) -> verdict (codegen)
+         -> [kept rows] scrub mapInPandas (narrow) -> write(partitionBy bucket)
+         -> lineage agg + per-bucket manifest commits
+
+Exactly two shuffles at any scale; scoring+scrub pipeline in a single
+narrow stage chain over the bucketized partitioning (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import uuid
+from pathlib import Path
+from typing import TYPE_CHECKING
+
+from .config import PipelineConfig, default_config
+from .operators import bucketize as bk, stages
+from .plans import checkpoint as ckpt, lineage as lin
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame
+
+
+def build_verdict_frame(
+    df: "DataFrame", cfg: PipelineConfig | None = None, hot_repos: list[str] | None = None
+) -> "DataFrame":
+    """read-input -> scored + verdict frame (keep, rule_hits, dup_loser).
+    Pure plan construction — nothing executes."""
+    cfg = cfg or default_config()
+    df = bk.bucketize(df, cfg, hot_repos=hot_repos)
+    df = stages.with_sha(df)
+    df = stages.dedup_exact(df)
+    df = stages.score(df)
+    df = stages.verdict(df, cfg)
+    df = stages.final_keep(df)
+    return df
+
+
+def build_clean_frame(df_verdict: "DataFrame", cfg: PipelineConfig | None = None) -> "DataFrame":
+    """verdict frame -> files_clean (kept rows, scrubbed content)."""
+    from pyspark.sql import functions as F
+
+    kept = df_verdict.filter(F.col("keep"))
+    return stages.scrub_stage(kept, cfg)
+
+
+def run(
+    df: "DataFrame",
+    cfg: PipelineConfig | None = None,
+    run_dir: str | Path | None = None,
+    run_id: str | None = None,
+    bucket_whitelist: list[int] | None = None,
+) -> dict:
+    """Execute end-to-end with checkpoint/resume + lineage.
+
+    ``bucket_whitelist`` limits processing to specific buckets (used by the
+    kill-at-50% resume test; prod uses it for targeted reruns).
+    Returns summary counters.
+    """
+    from pyspark.sql import functions as F
+
+    cfg = cfg or default_config()
+    run_id = run_id or uuid.uuid4().hex[:12]
+    run_dir = Path(run_dir) if run_dir else None
+
+    v = build_verdict_frame(df, cfg)
+    if run_dir is not None:
+        v = ckpt.filter_resume(v, run_dir)
+    if bucket_whitelist is not None:
+        v = v.filter(F.col("bucket").isin([int(b) for b in bucket_whitelist]))
+
+    if run_dir is None:
+        n_out = build_clean_frame(v, cfg).count()
+        return {"run_id": run_id, "files_out": n_out}
+
+    # The verdict frame feeds four consumers (clean-write, lineage, bucket
+    # ledger, commit list); persist it so the expensive scoring stage runs
+    # exactly once. MEMORY_AND_DISK: `content` rows are KB-MB, spilling is
+    # expected and fine at scale.
+    from pyspark import StorageLevel
+
+    v = v.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        clean = build_clean_frame(v, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+        out_path = str(run_dir / "files_clean")
+        (
+            clean.sortWithinPartitions("repo", "path", "commit")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(out_path)
+        )
+        lineage_df = lin.collect_lineage(v, run_id)
+        lineage_df.write.mode("append").parquet(str(run_dir / "lineage"))
+        per_bucket = clean.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+        seen = {int(r["bucket"]): int(r["n"]) for r in per_bucket}
+        # buckets that were processed but produced zero kept rows still commit
+        processed = {
+            int(r["bucket"]) for r in v.select("bucket").distinct().collect()
+        }
+        clean.unpersist()
+    finally:
+        v.unpersist()
+    for b in sorted(processed):
+        ckpt.commit_bucket(run_dir, run_id, b, seen.get(b, 0), out_path)
+    return {
+        "run_id": run_id,
+        "buckets": len(processed),
+        "files_out": sum(seen.values()),
+    }

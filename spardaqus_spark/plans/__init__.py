@@ -1,0 +1,1 @@
+"""Lineage + checkpoint/resume plumbing (BASELINE.json:6,14)."""

@@ -1,0 +1,86 @@
+"""Per-partition lineage rows (BASELINE.json:6): for every pipeline stage,
+(run_id, attempt, stage, partition_id, bucket, files_in, files_out,
+rule_hit_counts).
+
+Realized as a single whole-stage-codegen aggregation over
+``spark_partition_id()`` — no Python in the path; at 10^12 rows this is a
+partial+final hash agg producing one row per (partition, bucket).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame
+
+LINEAGE_SCHEMA = (
+    "run_id string, attempt int, stage string, partition_id int, bucket int, "
+    "files_in bigint, files_out bigint, rule_hit_counts map<string,bigint>"
+)
+
+
+def collect_lineage(
+    df_verdict: "DataFrame", run_id: str, attempt: int = 1, stage: str = "verdict"
+) -> "DataFrame":
+    """Aggregate lineage from a verdict-stage frame (needs keep, rule_hits,
+    bucket columns)."""
+    from pyspark.sql import functions as F
+
+    exploded = (
+        df_verdict.select(
+            F.spark_partition_id().alias("partition_id"),
+            "bucket",
+            "keep",
+            "rule_hits",
+        )
+        .withColumn("rule", F.explode_outer("rule_hits"))
+    )
+    per_rule = (
+        exploded.groupBy("partition_id", "bucket", "rule")
+        .agg(F.count(F.col("rule")).alias("n"))
+        .filter(F.col("rule").isNotNull())
+        .groupBy("partition_id", "bucket")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("rule", "n")))
+            ).alias("rule_hit_counts")
+        )
+    )
+    base = (
+        df_verdict.select(
+            F.spark_partition_id().alias("partition_id"), "bucket", "keep"
+        )
+        .groupBy("partition_id", "bucket")
+        .agg(
+            F.count("*").alias("files_in"),
+            F.sum(F.col("keep").cast("long")).alias("files_out"),
+        )
+    )
+    out = (
+        base.join(per_rule, ["partition_id", "bucket"], "left")
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("attempt", F.lit(attempt))
+        .withColumn("stage", F.lit(stage))
+        .select(
+            "run_id",
+            "attempt",
+            "stage",
+            "partition_id",
+            "bucket",
+            "files_in",
+            "files_out",
+            "rule_hit_counts",
+        )
+    )
+    return out
+
+
+def conservation_ok(lineage_df: "DataFrame", total_in: int, total_out: int) -> bool:
+    """Σ files_in == total rows and Σ files_out == kept rows (SURVEY §5.4d)."""
+    from pyspark.sql import functions as F
+
+    row = lineage_df.agg(
+        F.sum("files_in").alias("i"), F.sum("files_out").alias("o")
+    ).collect()[0]
+    return (row["i"] or 0) == total_in and (row["o"] or 0) == total_out

@@ -1,0 +1,120 @@
+"""Rule compiler: one Rule definition -> two executable forms.
+
+1. ``compile_spark`` -> a Catalyst ``Column`` expression tree (when/boolean
+   algebra — fully whole-stage-codegen'd, zero Python in the hot path,
+   SURVEY.md §2.5 `verdict`).
+2. ``compile_pandas`` -> a boolean mask over a pandas DataFrame (the oracle
+   path, SURVEY.md §0.3).
+
+Both are generated from the SAME Rule objects in the SAME config order, so
+verdicts agree by construction (§2.9.7).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+
+from .config import Rule
+
+
+# ---------------------------------------------------------------- pandas ---
+def rule_mask_pandas(rule: Rule, df: pd.DataFrame) -> pd.Series:
+    col = df[rule.metric]
+    t = rule.threshold
+    if rule.op == ">":
+        return col > t
+    if rule.op == ">=":
+        return col >= t
+    if rule.op == "<":
+        return col < t
+    if rule.op == "<=":
+        return col <= t
+    if rule.op == "==":
+        return col == t
+    if rule.op == "!=":
+        return col != t
+    if rule.op == "in":
+        return col.isin(list(t))
+    if rule.op == "not_in":
+        return ~col.isin(list(t))
+    if rule.op == "between":
+        lo, hi = t
+        return (col >= lo) & (col <= hi)
+    raise ValueError(rule.op)
+
+
+def apply_rules_pandas(
+    rules: Sequence[Rule], df: pd.DataFrame
+) -> tuple[pd.Series, pd.Series]:
+    """Returns (keep: bool Series, rule_hits: Series of list[str])."""
+    n = len(df)
+    hit_masks = [(r, rule_mask_pandas(r, df).fillna(False).to_numpy()) for r in rules]
+    keep = np.ones(n, dtype=bool)
+    for r, m in hit_masks:
+        if r.action == "drop":
+            keep &= ~m
+    names = [r.name for r, _ in hit_masks]
+    stacked = (
+        np.stack([m for _, m in hit_masks], axis=1)
+        if hit_masks
+        else np.zeros((n, 0), dtype=bool)
+    )
+    hits = [
+        [names[j] for j in np.flatnonzero(stacked[i])] for i in range(n)
+    ]
+    return pd.Series(keep), pd.Series(hits, dtype=object)
+
+
+# ----------------------------------------------------------------- spark ---
+def rule_condition_spark(rule: Rule):
+    from pyspark.sql import functions as F
+
+    col = F.col(rule.metric)
+    t = rule.threshold
+    if rule.op == ">":
+        return col > F.lit(t)
+    if rule.op == ">=":
+        return col >= F.lit(t)
+    if rule.op == "<":
+        return col < F.lit(t)
+    if rule.op == "<=":
+        return col <= F.lit(t)
+    if rule.op == "==":
+        return col == F.lit(t)
+    if rule.op == "!=":
+        return col != F.lit(t)
+    if rule.op == "in":
+        return col.isin(list(t))
+    if rule.op == "not_in":
+        return ~col.isin(list(t))
+    if rule.op == "between":
+        lo, hi = t
+        return (col >= F.lit(lo)) & (col <= F.lit(hi))
+    raise ValueError(rule.op)
+
+
+def compile_spark(rules: Sequence[Rule]):
+    """-> (keep: Column, rule_hits: Column(array<string>)).
+
+    keep = NOT any(drop-rule fires); NULL metric never fires a rule
+    (coalesce to false), matching the pandas fillna(False) above.
+    """
+    from pyspark.sql import functions as F
+
+    conds = [
+        (r, F.coalesce(rule_condition_spark(r), F.lit(False))) for r in rules
+    ]
+    keep = F.lit(True)
+    for r, c in conds:
+        if r.action == "drop":
+            keep = keep & ~c
+    if conds:
+        hits = F.array_compact(
+            F.array(*[F.when(c, F.lit(r.name)) for r, c in conds])
+        )
+    else:
+        hits = F.array().cast("array<string>")
+    return keep, hits

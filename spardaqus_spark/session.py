@@ -1,0 +1,67 @@
+"""SparkSession factory tuned for the content-heavy quality pipeline.
+
+Scale notes (SURVEY.md §4.2):
+- Arrow batch size is tuned DOWN (default 512) because `content` rows are
+  KB-MB; this bounds python-worker memory regardless of executor count.
+- shuffle partitions follow the session's default parallelism so the same
+  code scales N -> 4N without retuning (scaling-efficiency mandate).
+- AQE on: runtime partition coalescing + skew-join splitting.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+# Python workers deserialize our kernels by importing this package, so its
+# root must be on the workers' PYTHONPATH no matter where the driver runs
+# from. In local mode workers inherit the driver env; on a cluster,
+# spark-submit --py-files dist/spardaqus_spark.zip ships the same code
+# (SURVEY.md §3.1).
+_PKG_ROOT = str(Path(__file__).resolve().parents[1])
+
+
+def _export_pythonpath() -> None:
+    pp = os.environ.get("PYTHONPATH", "")
+    if _PKG_ROOT not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{_PKG_ROOT}{os.pathsep}{pp}" if pp else _PKG_ROOT
+        )
+
+
+def get_spark(
+    app: str = "spardaqus_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_batch: int = 512,
+) -> SparkSession:
+    _export_pythonpath()
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or _default_shuffle(master)))
+    )
+    return b.getOrCreate()
+
+
+def _default_shuffle(master: str) -> int:
+    # local[N] -> N; local[*] -> cpu count; cluster -> leave a sane floor.
+    if master.startswith("local["):
+        inner = master[6:-1]
+        if inner == "*":
+            return os.cpu_count() or 8
+        try:
+            return max(int(inner), 4)
+        except ValueError:
+            return 32
+    return 200

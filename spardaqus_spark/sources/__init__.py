@@ -1,0 +1,1 @@
+"""Source/sink seam — parquet in-sandbox, Iceberg in production."""

@@ -1,0 +1,39 @@
+"""Table-format seam (SURVEY.md §7 M5): one config key switches between
+sandbox parquet and production Iceberg. The sandbox has no Iceberg jar
+(SURVEY.md App. A), so the iceberg branch is config-gated and exercised
+only for plan construction in prod.
+
+Production notes baked into the layout:
+- reads prune columns at the source (metadata-only passes never
+  deserialize `content` — SURVEY.md §1.3);
+- writes partition by `bucket` so resume + targeted reruns get partition
+  pruning for free, and `sortWithinPartitions(repo, path, commit)` pins a
+  deterministic file layout (sha256-stable output bytes, SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from ..config import PipelineConfig
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame, SparkSession
+
+
+def read_files(spark: "SparkSession", cfg: PipelineConfig, columns: list[str] | None = None) -> "DataFrame":
+    if cfg.table_format == "iceberg":
+        df = spark.read.format("iceberg").load(cfg.input_path)
+    else:
+        df = spark.read.parquet(cfg.input_path)
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def write_files(df: "DataFrame", cfg: PipelineConfig, path: str, mode: str = "append") -> None:
+    out = df.sortWithinPartitions("repo", "path", "commit")
+    if cfg.table_format == "iceberg":
+        out.writeTo(path).append()
+    else:
+        out.write.mode(mode).partitionBy("bucket").parquet(path)

@@ -1,0 +1,128 @@
+"""THE correctness gate (SURVEY.md §0.3 / BASELINE.md):
+
+- keep/drop F1 vs oracle labels >= 0.99 (engineered 1.0),
+- scrubbed text byte-equality via per-row sha256,
+- untouched-content invariant (sha256(content_out) == sha256(content_in)
+  for kept rows with no scrub hit),
+- partition invariance (same verdicts at any repartition/salt),
+- lineage conservation, planted-strata behavior.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from spardaqus_spark import oracle, pipeline
+from spardaqus_spark.config import default_config
+
+
+@pytest.fixture(scope="module")
+def spark_verdict(spark, corpus_sdf):
+    v = pipeline.build_verdict_frame(corpus_sdf, default_config())
+    pdf = v.select(
+        "repo", "path", "commit", "keep", "rule_hits", "dup_loser",
+        "lang_pred", "lang_conf", "ppl", "max_line_len", "alnum_ratio",
+        "dup_line_frac", "autogen", "content_sha256",
+    ).toPandas()
+    return pdf
+
+
+def _join(golden: pd.DataFrame, got: pd.DataFrame) -> pd.DataFrame:
+    key = ["repo", "path", "commit"]
+    g = golden.set_index(key)
+    s = got.set_index(key)
+    assert len(g) == len(s)
+    j = g.join(s, how="inner", lsuffix="_o", rsuffix="_s")
+    assert len(j) == len(g), "join lost rows — key mismatch"
+    return j
+
+
+def test_keep_drop_f1_is_one(golden, spark_verdict):
+    j = _join(
+        golden[["repo", "path", "commit", "keep"]],
+        spark_verdict[["repo", "path", "commit", "keep"]],
+    )
+    tp = ((j["keep_o"]) & (j["keep_s"])).sum()
+    fp = ((~j["keep_o"]) & (j["keep_s"])).sum()
+    fn = ((j["keep_o"]) & (~j["keep_s"])).sum()
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    assert f1 == 1.0, f"F1={f1} (tp={tp} fp={fp} fn={fn})"
+
+
+def test_scores_and_rule_hits_exact(golden, spark_verdict):
+    j = _join(golden, spark_verdict)
+    for col in ("lang_pred", "ppl", "lang_conf", "max_line_len"):
+        assert (j[f"{col}_o"] == j[f"{col}_s"]).all(), col
+    assert (
+        j["rule_hits_o"].map(tuple) == j["rule_hits_s"].map(tuple)
+    ).all()
+    assert (j["dup_loser_o"] == j["dup_loser_s"]).all()
+
+
+def test_scrub_sha256_byte_equality(spark, corpus_sdf, golden):
+    v = pipeline.build_verdict_frame(corpus_sdf, default_config())
+    clean = pipeline.build_clean_frame(v, default_config())
+    got = clean.select("repo", "path", "commit", "scrubbed_sha256").toPandas()
+    g = golden[golden["keep"]]
+    j = _join(
+        g[["repo", "path", "commit", "scrubbed_sha256"]].rename(
+            columns={"scrubbed_sha256": "sha_o"}
+        ),
+        got.rename(columns={"scrubbed_sha256": "sha_s"}),
+    )
+    assert len(j) == len(g)
+    assert (j["sha_o"] == j["sha_s"]).all()
+
+
+def test_untouched_rows_sha_invariant(golden, corpus_pdf):
+    # kept rows with no scrub hit must keep identical bytes (BASELINE.json:15)
+    g = golden.copy()
+    g["stratum"] = corpus_pdf["stratum"].to_numpy()
+    kept = g[g["keep"]]
+    untouched = kept[kept["content_scrubbed"] == kept["content"]]
+    assert (untouched["scrubbed_sha256"] == untouched["content_sha256"]).all()
+    # and the pii/toxic strata really do change bytes
+    hit = kept[kept["stratum"].isin(["pii", "toxic"])]
+    assert (hit["scrubbed_sha256"] != hit["content_sha256"]).all()
+
+
+def test_partition_invariance(spark, corpus_sdf, golden):
+    # same verdicts regardless of physical partitioning (SURVEY §5.4c)
+    cfg = default_config(num_buckets=7, salt_k=3, hot_repo_threshold=50)
+    v = pipeline.build_verdict_frame(corpus_sdf.repartition(13), cfg)
+    got = v.select("repo", "path", "commit", "keep").toPandas()
+    j = _join(golden[["repo", "path", "commit", "keep"]], got)
+    assert (j["keep_o"] == j["keep_s"]).all()
+
+
+def test_planted_strata_behavior(golden, corpus_pdf):
+    g = golden.copy()
+    g["stratum"] = corpus_pdf["stratum"].to_numpy()
+    by = g.groupby("stratum")["keep"].mean()
+    for bad in ("long_lines", "low_alnum", "dup_lines", "autogen", "high_ppl", "wrong_lang"):
+        assert by[bad] == 0.0, f"{bad}: {by[bad]}"
+    assert by["pii"] == 1.0
+    assert by["toxic"] == 1.0
+    assert by["clean"] > 0.9
+    # each defect stratum fires its own rule
+    rule_for = {
+        "long_lines": "long_lines", "low_alnum": "low_alnum",
+        "dup_lines": "dup_lines", "autogen": "autogen",
+        "high_ppl": "high_ppl", "wrong_lang": "langid",
+    }
+    for stratum, rule in rule_for.items():
+        rows = g[g["stratum"] == stratum]
+        assert rows["rule_hits"].map(lambda h: rule in h).all(), stratum
+
+
+def test_lineage_conservation(spark, corpus_sdf):
+    from spardaqus_spark.plans import lineage as lin
+
+    v = pipeline.build_verdict_frame(corpus_sdf, default_config()).cache()
+    total = v.count()
+    kept = v.filter(F.col("keep")).count()
+    ldf = lin.collect_lineage(v, run_id="t")
+    assert lin.conservation_ok(ldf, total, kept)
+    v.unpersist()

@@ -1,0 +1,56 @@
+"""Checkpoint/resume (BASELINE.json:6,14; SURVEY.md §5.5): run half the
+buckets, 'crash', resume, assert the union equals an uninterrupted run
+byte-for-byte, and that resume reprocesses only the missing buckets."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from spardaqus_spark import pipeline
+from spardaqus_spark.config import default_config
+from spardaqus_spark.plans import checkpoint as ckpt
+
+CFG = default_config(num_buckets=8, hot_repo_threshold=100)
+
+
+def _read_clean(spark, run_dir):
+    df = spark.read.parquet(str(run_dir / "files_clean"))
+    return (
+        df.select("repo", "path", "commit", "scrubbed_sha256", "bucket")
+        .toPandas()
+        .sort_values(["repo", "path", "commit"])
+        .reset_index(drop=True)
+    )
+
+
+def test_kill_and_resume_matches_uninterrupted(spark, corpus_sdf, tmp_path):
+    full_dir = tmp_path / "full"
+    part_dir = tmp_path / "part"
+
+    r_full = pipeline.run(corpus_sdf, CFG, run_dir=full_dir, run_id="full")
+    assert r_full["buckets"] == 8
+
+    # first attempt: only buckets 0..3 land before the "crash"
+    r1 = pipeline.run(
+        corpus_sdf, CFG, run_dir=part_dir, run_id="a1", bucket_whitelist=[0, 1, 2, 3]
+    )
+    assert r1["buckets"] == 4
+    assert sorted(ckpt.done_buckets(part_dir)) == [0, 1, 2, 3]
+
+    # resume: anti-join drops done buckets; remainder processes
+    r2 = pipeline.run(corpus_sdf, CFG, run_dir=part_dir, run_id="a2")
+    assert r2["buckets"] == 4  # ONLY the unprocessed fraction (overhead target)
+    assert sorted(ckpt.done_buckets(part_dir)) == list(range(8))
+
+    a = _read_clean(spark, full_dir)
+    b = _read_clean(spark, part_dir)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_resume_noop_when_all_done(spark, corpus_sdf, tmp_path):
+    d = tmp_path / "r"
+    pipeline.run(corpus_sdf, CFG, run_dir=d, run_id="x")
+    r = pipeline.run(corpus_sdf, CFG, run_dir=d, run_id="y")
+    assert r["buckets"] == 0
+    assert r["files_out"] == 0
