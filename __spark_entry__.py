@@ -1,38 +1,124 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   -> flagship: the real quality pipeline over sf0.001 documents.
+queries()      -> one entry per implemented operator family (SURVEY.md §2).
+oracle_sql()   -> DuckDB twins for every SQL-expressible query; model-backed
+                  / sketch ops (pipeline, minhash, simhash, ann, multimodal)
+                  are rows-only by design (SURVEY.md §3.2).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+
+_REPO = Path(__file__).resolve().parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+# Python workers must import spardaqus_spark too (driver may run from
+# any cwd) — export before any Spark action materializes a UDF stage.
+import os
+
+_pp = os.environ.get("PYTHONPATH", "")
+if str(_REPO) not in _pp.split(os.pathsep):
+    os.environ["PYTHONPATH"] = f"{_REPO}{os.pathsep}{_pp}" if _pp else str(_REPO)
+
+from spardaqus_spark import queries as Q  # noqa: E402
+from spardaqus_spark import queries_ml as QM  # noqa: E402
+from spardaqus_spark import queries_text as QT  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return QM.q_pipeline_documents(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational core (star schema)
+        "pricing_summary": Q.q_pricing_summary,
+        "top_revenue_orders": Q.q_top_revenue_orders,
+        "region_revenue": Q.q_region_revenue,
+        "outer_join_nulls": Q.q_outer_join_nulls,
+        "semi_join": Q.q_semi_join,
+        "anti_join": Q.q_anti_join,
+        "range_join": Q.q_range_join,
+        "asof_last_signup": Q.q_asof_last_signup,
+        "window_topk": Q.q_window_topk,
+        "window_running": Q.q_window_running,
+        "window_moving_avg": Q.q_window_moving_avg,
+        "rollup_slices": Q.q_rollup_lineage_slices,
+        "cube_regions": Q.q_cube_nation_region,
+        "set_ops": Q.q_set_ops,
+        "percentiles": Q.q_percentiles,
+        "corr_stats": Q.q_corr_stats,
+        "json_extract": Q.q_json_extract,
+        "date_trunc_monthly": Q.q_date_trunc_monthly,
+        "string_funcs": Q.q_string_funcs,
+        "conditional_pivot": Q.q_conditional_pivot,
+        "having_filter": Q.q_having_filter,
+        "sessionize": Q.q_sessionize,
+        "tumbling_hourly": Q.q_tumbling_hourly,
+        "global_sort_limit": Q.q_global_sort_limit,
+        # text analysis / dedup / similarity (documents, embeddings)
+        "doc_line_metrics": QT.q_doc_line_metrics,
+        "token_count": QT.q_token_count,
+        "quality_score": QT.q_quality_score,
+        "lang_stopword_heuristic": QT.q_lang_stopword_heuristic,
+        "fingerprint": QT.q_fingerprint,
+        "dedup_exact_docs": QT.q_dedup_exact_docs,
+        "ngram_jaccard_pairs": QT.q_ngram_jaccard_pairs,
+        "embedding_norms": QT.q_embedding_norms,
+        "cosine_topk": QT.q_cosine_topk,
+        # model/sketch-backed (rows-only checks)
+        "pipeline_documents": QM.q_pipeline_documents,
+        "minhash_lsh_pairs": QM.q_minhash_lsh_pairs,
+        "simhash_buckets": QM.q_simhash_buckets,
+        "ann_lsh_cosine": QM.q_ann_lsh_cosine,
+        "multimodal_features": QM.q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": Q.SQL_PRICING,
+        "top_revenue_orders": Q.SQL_TOP_REVENUE,
+        "region_revenue": Q.SQL_REGION_REVENUE,
+        "outer_join_nulls": Q.SQL_OUTER_JOIN,
+        "semi_join": Q.SQL_SEMI_JOIN,
+        "anti_join": Q.SQL_ANTI_JOIN,
+        "range_join": Q.SQL_RANGE_JOIN,
+        "asof_last_signup": Q.SQL_ASOF,
+        "window_topk": Q.SQL_WINDOW_TOPK,
+        "window_running": Q.SQL_WINDOW_RUNNING,
+        "window_moving_avg": Q.SQL_WINDOW_MAV,
+        "rollup_slices": Q.SQL_ROLLUP,
+        "cube_regions": Q.SQL_CUBE,
+        "set_ops": Q.SQL_SET_OPS,
+        "percentiles": Q.SQL_PERCENTILES,
+        "corr_stats": Q.SQL_CORR,
+        "json_extract": Q.SQL_JSON,
+        "date_trunc_monthly": Q.SQL_DATE_TRUNC,
+        "string_funcs": Q.SQL_STRING,
+        "conditional_pivot": Q.SQL_COND_PIVOT,
+        "having_filter": Q.SQL_HAVING,
+        "sessionize": Q.SQL_SESSIONIZE,
+        "tumbling_hourly": Q.SQL_TUMBLING,
+        "global_sort_limit": Q.SQL_SORT_LIMIT,
+        "doc_line_metrics": QT.SQL_DOC_LINE_METRICS,
+        "token_count": QT.SQL_TOKEN_COUNT,
+        "quality_score": QT.SQL_QUALITY,
+        "lang_stopword_heuristic": QT.SQL_LANG_STOPWORD,
+        "fingerprint": QT.SQL_FINGERPRINT,
+        "dedup_exact_docs": QT.SQL_DEDUP_EXACT,
+        "ngram_jaccard_pairs": QT.SQL_NGRAM_JACCARD,
+        "embedding_norms": QT.SQL_EMB_NORMS,
+        "cosine_topk": QT.SQL_COSINE_TOPK,
+        # pipeline_documents / minhash_lsh_pairs / simhash_buckets /
+        # ann_lsh_cosine / multimodal_features: intentionally omitted —
+        # model- or sketch-backed, not ANSI-SQL-expressible.
+    }

@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Benchmark harness (SURVEY.md §7 M7; BASELINE.md measured rows).
+
+Runs (a) the full quality pipeline over a deterministic synthetic corpus —
+the headline files/sec-filtered metric — and (b) the headline coverage
+queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "pipeline": {"files_in": N, "files_out": N, "sec": s, "files_per_sec": r}}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] cores (default *)
+  SPARK_GRAFT_BENCH_N  synthetic corpus rows (default 100000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+BENCH_N = int(os.environ.get("SPARK_GRAFT_BENCH_N", "100000"))
+CACHE = REPO / ".bench_cache"
+
+HEADLINE = [
+    "pricing_summary",
+    "top_revenue_orders",
+    "region_revenue",
+    "window_topk",
+    "sessionize",
+    "dedup_exact_docs",
+    "ngram_jaccard_pairs",
+    "cosine_topk",
+    "minhash_lsh_pairs",
+    "pipeline_documents",
+]
+
+
+def corpus_path() -> str:
+    """Generate-once synthetic bench corpus (deterministic, seed 42)."""
+    p = CACHE / f"files_n{BENCH_N}.parquet"
+    if not p.exists():
+        from spardaqus_spark import fixtures
+
+        CACHE.mkdir(exist_ok=True)
+        df = fixtures.gen_files(BENCH_N)
+        df[["repo", "path", "commit", "lang", "content"]].to_parquet(p, index=False)
+    return str(p)
+
+
+def main() -> None:
+    cpath = corpus_path()  # build before Spark starts (pandas-side)
+
+    from spardaqus_spark import pipeline
+    from spardaqus_spark.config import default_config
+    from spardaqus_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app="spardaqus-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # --- pipeline throughput (the BASELINE.json headline) ---------------
+    cfg = default_config(num_buckets=64, hot_repo_threshold=max(BENCH_N // 50, 1000))
+    src = spark.read.parquet(cpath)
+    files_in = src.count()  # warms the scan; excluded from the timed window
+    t0 = time.perf_counter()
+    res = pipeline.run(src, cfg)
+    pipe_sec = time.perf_counter() - t0
+    pipe = {
+        "files_in": files_in,
+        "files_out": res["files_out"],
+        "sec": round(pipe_sec, 3),
+        "files_per_sec": round(files_in / pipe_sec, 1),
+    }
+
+    # --- headline coverage queries at SF_DIR -----------------------------
+    qmap = entrymod.queries()
+    qtimes: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qmap[name]
+        t0 = time.perf_counter()
+        n = fn(spark, SF_DIR).count()
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+    total = round(sum(qtimes.values()), 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": qtimes,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "pipeline": pipe,
+                "cores": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

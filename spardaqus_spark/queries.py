@@ -1,0 +1,620 @@
+"""Driver-harness operator coverage (SURVEY.md §2 / __spark_entry__.py).
+
+Every entry pairs a Spark DataFrame program with an ANSI-SQL oracle that
+DuckDB executes over the same parquet tables. Conventions that make the
+driver's order-insensitive value-hash comparison stable:
+
+- every computed column is aliased IDENTICALLY on both sides;
+- floating aggregates are rounded to 4 decimals on both sides (sum order
+  differs between engines at the ulp level);
+- DuckDB integer SUM() returns HUGEINT -> always CAST(... AS BIGINT);
+- every query has a deterministic row set (ties broken by key columns
+  before any LIMIT).
+
+Spark-first notes: dimension joins broadcast (small sides), aggregations
+are partial+final hash aggs, filters/projections sit directly on the
+parquet scan so pushdown + column pruning apply (SURVEY.md §4.1).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# Relational coverage over the star schema (SURVEY.md §2.2)
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 analog: scan-heavy filter + wide hash aggregation."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 4) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join (broadcast dim) + agg + deterministic top-10."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+SQL_TOP_REVENUE = """
+SELECT o_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way star join: fact + 4 broadcast dims (TPC-H Q5 shape)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+SQL_REGION_REVENUE = """
+SELECT r_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       COUNT(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_outer_join_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers without orders; null handling
+    via coalesce."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n"), F.sum("o_totalprice").alias("t")
+    )
+    return (
+        cust.join(agg, cust.c_custkey == agg.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"),
+            F.round(F.coalesce(F.col("t"), F.lit(0.0)), 4).alias("total_spent"),
+        )
+    )
+
+
+SQL_OUTER_JOIN = """
+SELECT c_custkey,
+       COALESCE(n, 0) AS n_orders,
+       ROUND(COALESCE(t, 0.0), 4) AS total_spent
+FROM customer
+LEFT JOIN (
+  SELECT o_custkey, COUNT(*) AS n, SUM(o_totalprice) AS t
+  FROM orders GROUP BY o_custkey
+) ON c_custkey = o_custkey
+"""
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(
+            orders.filter(F.col("o_totalprice") > 100000),
+            cust.c_custkey == F.col("o_custkey"), "left_semi"
+        ).select("c_custkey", "c_name")
+    )
+
+
+SQL_SEMI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resume primitive (BASELINE.json:6): drop already-present keys."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_nationkey")
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_nationkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/non-equi join against a tiny literal band table (broadcast
+    nested loop — the small side makes this sane at any fact size)."""
+    orders = load(spark, sf_dir, "orders")
+    bands = orders.sparkSession.createDataFrame(
+        [("small", 0.0, 50000.0), ("mid", 50000.0, 150000.0),
+         ("large", 150000.0, 1e18)],
+        "band string, lo double, hi double",
+    )
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (orders.o_totalprice >= bands.lo) & (orders.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+SQL_RANGE_JOIN = """
+SELECT band, COUNT(*) AS n_orders, ROUND(AVG(o_totalprice), 4) AS avg_price
+FROM orders
+JOIN (VALUES ('small', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
+             ('large', 150000.0, 1e18)) bands(band, lo, hi)
+  ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+"""
+
+
+def q_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via window (Spark SQL has no native as-of — SURVEY §2.2):
+    for each purchase, the event_id of the same user's most recent prior
+    signup."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    tagged = ev.withColumn(
+        "last_signup",
+        F.last(
+            F.when(F.col("event_type") == "signup", F.col("event_id")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return tagged.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "last_signup"
+    )
+
+
+SQL_ASOF = """
+SELECT event_id, user_id, last_signup FROM (
+  SELECT event_id, user_id, event_type,
+         LAST_VALUE(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_signup
+  FROM events
+) WHERE event_type = 'purchase'
+"""
+
+
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer (dedup 'keep first' pattern of §2.5)."""
+    orders = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+SQL_WINDOW_TOPK = """
+SELECT o_custkey, o_orderkey, rn FROM (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum + lag per user over the event stream."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.sum("value").over(w.rowsBetween(W.unboundedPreceding, 0)), 4
+        ).alias("running_value"),
+        F.lag("event_type", 1).over(w).alias("prev_type"),
+    )
+
+
+SQL_WINDOW_RUNNING = """
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value,
+       LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+FROM events
+"""
+
+
+def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    # round to 6 (not 4): with 2-decimal inputs and window length k <= 10
+    # the exact average is i/(100k), which can sit exactly ON a 1e-4
+    # midpoint (k=8: i*25 odd) where engine ulp drift flips the digit;
+    # at 1e-6 grain no i/(100k) midpoint exists for any k in 1..10.
+    return ev.select(
+        "event_id", F.round(F.avg("value").over(w), 6).alias("mav10")
+    )
+
+
+SQL_WINDOW_MAV = """
+SELECT event_id,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS mav10
+FROM events
+"""
+
+
+def q_rollup_lineage_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP + grouping_id — the lineage-report slice pattern (§2.2)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
+SQL_ROLLUP = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_cube_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    j = nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    return (
+        j.cube("r_name")
+        .agg(F.count("*").alias("n_nations"))
+        .select(F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"), "n_nations")
+    )
+
+
+SQL_CUBE = """
+SELECT COALESCE(r_name, 'ALL') AS region, COUNT(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY CUBE (r_name)
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersect + exceptAll + union through one pipeline."""
+    cust = load(spark, sf_dir, "customer")
+    big = cust.filter(F.col("c_acctbal") > 5000).select("c_nationkey")
+    seg = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_nationkey")
+    both = big.intersect(seg).withColumn("src", F.lit("both"))
+    only_big = big.distinct().exceptAll(seg.distinct()).withColumn(
+        "src", F.lit("only_big")
+    )
+    return (
+        both.unionByName(only_big)
+        .groupBy("src")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_SET_OPS = """
+WITH big AS (SELECT c_nationkey FROM customer WHERE c_acctbal > 5000),
+     seg AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
+     both_s AS (SELECT c_nationkey, 'both' AS src FROM
+                (SELECT c_nationkey FROM big INTERSECT SELECT c_nationkey FROM seg)),
+     ob AS (SELECT c_nationkey, 'only_big' AS src FROM
+            (SELECT DISTINCT c_nationkey FROM big
+             EXCEPT ALL SELECT DISTINCT c_nationkey FROM seg))
+SELECT src, COUNT(*) AS n FROM (SELECT * FROM both_s UNION ALL SELECT * FROM ob)
+GROUP BY src
+"""
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (rule-threshold calibration pattern)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.5), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", 0.95), 4).alias("p95"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd"),
+    )
+
+
+SQL_PERCENTILES = """
+SELECT l_returnflag,
+       ROUND(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 4) AS p50,
+       ROUND(CAST(quantile_cont(l_extendedprice, 0.95) AS DOUBLE), 4) AS p95,
+       ROUND(stddev_samp(l_extendedprice), 4) AS sd
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_discount", "l_tax"), 6).alias("covar_disc_tax"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+    )
+
+
+SQL_CORR = """
+SELECT ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       ROUND(covar_samp(l_discount, l_tax), 6) AS covar_disc_tax,
+       ROUND(AVG(l_quantity), 4) AS avg_qty
+FROM lineitem
+"""
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column parse on the event stream (§2.3 json family)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+SQL_JSON = """
+SELECT event_type,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def q_date_trunc_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("month", F.date_trunc("month", "o_orderdate"))
+        .groupBy("month")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("monthly_total"),
+        )
+    )
+
+
+SQL_DATE_TRUNC = """
+SELECT date_trunc('month', o_orderdate) AS month,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 4) AS monthly_total
+FROM orders GROUP BY date_trunc('month', o_orderdate)
+"""
+
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 8)).alias("prefix"),
+        F.length("p_name").alias("name_len"),
+        F.when(F.col("p_type").rlike("BRASS|COPPER"), "metal")
+        .otherwise("other")
+        .alias("material"),
+    )
+
+
+SQL_STRING = """
+SELECT p_partkey,
+       UPPER(SUBSTRING(p_name, 1, 8)) AS prefix,
+       LENGTH(p_name) AS name_len,
+       CASE WHEN regexp_matches(p_type, 'BRASS|COPPER') THEN 'metal'
+            ELSE 'other' END AS material
+FROM part
+"""
+
+
+def q_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot via conditional aggregation (engine-portable pivot form)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")).otherwise(0.0)), 4
+        ).alias("qty_open"),
+        F.round(
+            F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(0.0)), 4
+        ).alias("qty_filled"),
+    )
+
+
+SQL_COND_PIVOT = """
+SELECT l_returnflag,
+       ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0.0 END), 4) AS qty_open,
+       ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0.0 END), 4) AS qty_filled
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+        .filter(F.col("total_qty") > 100)
+    )
+
+
+SQL_HAVING = """
+SELECT l_suppkey, ROUND(SUM(l_quantity), 4) AS total_qty
+FROM lineitem GROUP BY l_suppkey HAVING SUM(l_quantity) > 100
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30-min gap), batch-expressible form
+    of the streaming session_window (§2.8)."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts", 1).over(w)
+    # first event of a user opens a session (prev IS NULL), like the SQL
+    gap = F.when(
+        prev.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev)) > 1800),
+        1,
+    ).otherwise(0)
+    sess = (
+        ev.withColumn("new_sess", gap)
+        .withColumn(
+            "sess_id",
+            F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("sess_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+              THEN 1
+              WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL THEN 1
+              ELSE 0 END AS new_sess
+  FROM events
+), sess AS (
+  SELECT user_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM marked
+)
+SELECT user_id, MAX(sess_id) AS n_sessions, COUNT(*) AS n_events
+FROM sess GROUP BY user_id
+"""
+
+
+def q_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window agg, batch form (streaming F.window analog)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withColumn("hour", F.date_trunc("hour", "ts"))
+        .groupBy("hour", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+SQL_TUMBLING = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+FROM events GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+def q_global_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global order-by + limit -> TakeOrderedAndProject (no full sort)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(25)
+        .select("o_orderkey", F.round("o_totalprice", 4).alias("price"))
+    )
+
+
+SQL_SORT_LIMIT = """
+SELECT o_orderkey, ROUND(o_totalprice, 4) AS price
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+"""

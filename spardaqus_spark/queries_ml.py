@@ -1,0 +1,279 @@
+"""Model-backed / sketch-based coverage: the operators whose semantics are
+not ANSI-SQL-expressible (driver records rows-only checks — SURVEY.md §3.2).
+
+- pipeline verdict over `documents` (hashed-trigram langid + ppl + rules);
+- MinHash + LSH near-dup candidates (shingle -> minhash -> band -> bucket
+  self-join) — the scale path whose exact baseline is
+  queries_text.q_ngram_jaccard_pairs;
+- SimHash near-dup buckets;
+- LSH-bucketed approximate nearest neighbors (random-hyperplane signs) —
+  the scale path for queries_text.q_cosine_topk;
+- multimodal binary-column plumbing (schema + batch shape real, decode
+  stubbed — no image/audio libs in this container).
+
+All sketches are computed with JVM-side functions where possible
+(xxhash64 on shingles, bit ops) — Python only where the semantics demand
+vectorized NumPy (the pipeline models).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .queries import load
+
+N_HASHES = 16  # minhash permutations
+N_BANDS = 4    # 4 rows/band -> candidates at J ~ 0.6+
+SIM_BITS = 32  # simhash width
+
+
+def _shingles(df: DataFrame, k: int = 5) -> DataFrame:
+    """doc_id, shingle(string): k-char shingles of normalized text,
+    distinct per doc. JVM-side: sequence + transform + explode."""
+    norm = F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")
+    d = df.select("doc_id", norm.alias("t")).withColumn("n", F.length("t"))
+    idx = F.sequence(F.lit(1), F.greatest(F.col("n") - k + 1, F.lit(1)))
+    return (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(idx, lambda i: F.col("t").substr(i, F.lit(k)))
+                )
+            ).alias("shingle"),
+        )
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id, sig: array<bigint> of N_HASHES min-hashes. One shuffle
+    (groupBy doc_id); hashes are xxhash64(shingle, seed_i) — JVM-side."""
+    sh = _shingles(docs)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(N_HASHES)
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(N_HASHES)]).alias("sig")
+    )
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: band the signature, hash each band, self-join
+    on (band, band_hash) — join fan-out is per-bucket, never all-pairs."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = minhash_signatures(docs)
+    rows_per_band = N_HASHES // N_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("sig")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bh"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.band", "e.bh")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    # verify candidates with the true signature agreement fraction
+    # (reuse `sig` — one lineage, Catalyst plans the scan once per join side)
+    s1 = sig.select(F.col("doc_id").alias("d1"), F.col("sig").alias("sig1"))
+    s2 = sig.select(F.col("doc_id").alias("d2"), F.col("sig").alias("sig2"))
+    est = F.aggregate(
+        F.zip_with("sig1", "sig2", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(float(N_HASHES))
+    return (
+        cand.join(s1, "d1").join(s2, "d2")
+        .withColumn("est_jaccard", F.round(est, 4))
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("d1", "d2", "est_jaccard")
+        .orderBy("d1", "d2")
+    )
+
+
+def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash over word features: sign-sum of per-word hash bits ->
+    SIM_BITS fingerprint; near-dups share the fingerprint. All JVM bit ops."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.explode(
+        F.split(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "), " ")
+    ).alias("w")
+    tok = docs.select("doc_id", words).filter(F.col("w") != "")
+    h = F.xxhash64("w")
+    bit_cols = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(SIM_BITS)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_cols)
+    fp = None
+    for i in range(SIM_BITS):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0))
+        term = F.shiftleft(bit.cast("long"), i)
+        fp = term if fp is None else fp + term
+    sig = agg.select("doc_id", fp.alias("simhash"))
+    w = W.partitionBy("simhash")
+    return (
+        sig.withColumn("bucket_size", F.count("*").over(w))
+        .filter(F.col("bucket_size") > 1)
+        .select("doc_id", "simhash", "bucket_size")
+        .orderBy("doc_id")
+    )
+
+
+def q_ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH: 8 deterministic
+    pseudo-hyperplanes (hash-derived signs), bucket on the 8-bit sketch,
+    exact cosine only within buckets. Scale path: the per-bucket join
+    replaces the full cross join of q_cosine_topk."""
+    emb = load(spark, sf_dir, "embeddings")
+    dvec = F.transform("embedding", lambda x: x.cast("double"))
+    v = emb.select("vec_id", dvec.alias("v"))
+    # deterministic hyperplane h_p[i] = sign pattern from xxhash64(p, i):
+    # projection sign = sign(sum_i v[i] * s_pi) with s_pi in {-1, +1}
+    planes = []
+    for p in range(8):
+        s = F.transform(
+            F.sequence(F.lit(0), F.size("v") - 1),
+            lambda i: F.when(
+                F.pmod(F.xxhash64(F.lit(p), i), F.lit(2)) == 0, F.lit(1.0)
+            ).otherwise(F.lit(-1.0)),
+        )
+        proj = F.aggregate(
+            F.zip_with("v", s, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+        planes.append(F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)) * (2 ** p))
+    sketch = sum(planes[1:], planes[0])
+    sk = v.withColumn("sketch", sketch.cast("int"))
+    a, b = sk.alias("a"), sk.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.sketch") == F.col("b.sketch"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cos", F.round(dot / (nrm(F.col("a.v")) * nrm(F.col("b.v"))), 4))
+        .filter(F.col("cos") >= 0.9)
+        .select(
+            F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2"), "cos"
+        )
+        .orderBy("v1", "v2")
+    )
+    return pairs
+
+
+def q_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship: run the REAL quality pipeline (fused mapInPandas
+    scoring + codegen verdict) over `documents` as the corpus analog.
+    Model-backed -> rows-only driver check; exact equality vs the pandas
+    oracle is enforced separately in tests/test_pipeline_oracle.py."""
+    from .config import default_config
+    from .operators import stages
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.concat(F.lit("src/"), F.col("source")).alias("repo"),
+        F.concat(F.lit("doc"), F.col("doc_id").cast("string")).alias("path"),
+        F.md5(F.col("text")).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+    cfg = default_config()
+    scored = stages.score(corpus)
+    v = stages.verdict(scored, cfg)
+    return (
+        v.groupBy("lang_pred")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("rule_keep").cast("bigint")).alias("n_keep"),
+            F.round(F.avg("ppl"), 2).alias("avg_ppl"),
+        )
+        .orderBy("lang_pred")
+    )
+
+
+MULTIMODAL_SCHEMA = (
+    "asset_id bigint, kind string, n_bytes bigint, feat array<double>"
+)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: treat text bytes as an opaque binary column
+    with typed metadata, run a mapInPandas feature-extract over it. The
+    DECODE step is a deterministic stand-in (byte histogram moments) —
+    real image/audio decode would slot into `_decode_features` (no codec
+    libs in this container, task brief); schema, partitioning, Arrow batch
+    shape and UDF signature are the real, tested surface."""
+    import numpy as np
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+
+    def _decode_features(batches):
+        for pdf in batches:
+            feats = []
+            nb = []
+            for buf in pdf["payload"]:
+                b = np.frombuffer(bytes(buf), dtype=np.uint8)
+                nb.append(len(b))
+                if len(b) == 0:
+                    feats.append([0.0, 0.0, 0.0, 0.0])
+                else:
+                    # deterministic fake "embedding": byte-histogram moments
+                    feats.append(
+                        [
+                            float(b.mean()),
+                            float(b.std()),
+                            float(np.median(b)),
+                            float((b > 127).mean()),
+                        ]
+                    )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": nb,
+                    "feat": feats,
+                }
+            )
+
+    return (
+        assets.mapInPandas(_decode_features, MULTIMODAL_SCHEMA)
+        .withColumn("feat", F.transform("feat", lambda x: F.round(x, 4)))
+        .orderBy("asset_id")
+    )

@@ -1,0 +1,299 @@
+"""Text-analysis / dedup / similarity coverage over `documents` and
+`embeddings` — the training-data-pipeline operator family (task brief):
+exact + n-gram-Jaccard dedup, fingerprinting, token counting, quality
+scoring, language heuristics, brute-force + bucketed cosine similarity.
+
+SQL-oracle-expressible variants live here with their DuckDB twins; the
+model-backed / LSH variants (MinHash, SimHash, pipeline verdict) are in
+queries_ml.py with rows-only checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .queries import load
+
+
+def q_doc_line_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-SQL heuristic metrics (the codegen'd fast path of §2.5
+    heuristics: max line len + alnum ratio per doc, aggregated by lang)."""
+    docs = load(spark, sf_dir, "documents")
+    lines = F.split(F.col("text"), "\n")
+    max_line = F.array_max(F.transform(lines, lambda x: F.length(x)))
+    alnum = F.length(F.regexp_replace("text", "[^A-Za-z0-9]", "")) / F.greatest(
+        F.length("text"), F.lit(1)
+    )
+    return (
+        docs.select("lang", max_line.alias("mll"), alnum.alias("ar"))
+        .groupBy("lang")
+        .agg(
+            F.max("mll").alias("max_line_len"),
+            F.round(F.avg("ar"), 4).alias("avg_alnum_ratio"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+SQL_DOC_LINE_METRICS = """
+SELECT lang,
+       MAX(list_max(list_transform(str_split(text, chr(10)), x -> length(x)))) AS max_line_len,
+       ROUND(AVG(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+                 / GREATEST(length(text), 1)), 4) AS avg_alnum_ratio,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization + counts per source (token-counting op)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), "\\s+"))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.sum(toks.cast("bigint")).alias("total_tokens"),
+            F.round(F.avg(toks), 4).alias("avg_tokens"),
+        )
+    )
+
+
+SQL_TOKEN_COUNT = r"""
+SELECT source,
+       CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+       ROUND(AVG(len(regexp_split_to_array(trim(text), '\s+'))), 4) AS avg_tokens
+FROM documents GROUP BY source
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score: length + punctuation ratio + uppercase
+    ratio (Gopher-style rule calibration surface)."""
+    docs = load(spark, sf_dir, "documents")
+    length = F.length("text")
+    punct = F.length(F.regexp_replace("text", "[^!-/:-@\\[-`{-~]", ""))
+    upper = F.length(F.regexp_replace("text", "[^A-Z]", ""))
+    score = (
+        F.least(length / F.lit(1000.0), F.lit(1.0))
+        - punct / F.greatest(length, F.lit(1)) * 0.5
+        - upper / F.greatest(length, F.lit(1)) * 0.25
+    )
+    return docs.select(
+        "doc_id", F.round(score, 4).alias("quality_score")
+    )
+
+
+SQL_QUALITY = """
+SELECT doc_id,
+       ROUND(LEAST(length(text) / 1000.0, 1.0)
+             - length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))
+               / GREATEST(length(text), 1) * 0.5
+             - length(regexp_replace(text, '[^A-Z]', '', 'g'))
+               / GREATEST(length(text), 1) * 0.25, 4) AS quality_score
+FROM documents
+"""
+
+
+def q_lang_stopword_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-expressible language-ID heuristic: per-language stopword hit
+    counts (the codegen'd cousin of the hashed-trigram classifier)."""
+    docs = load(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    en = F.regexp_count(low, F.lit(r"\b(the|and|of)\b"))
+    fr = F.regexp_count(low, F.lit(r"\b(le|la|et)\b"))
+    es = F.regexp_count(low, F.lit(r"\b(el|los|y)\b"))
+    return (
+        docs.select("lang", en.alias("en_hits"), fr.alias("fr_hits"), es.alias("es_hits"))
+        .groupBy("lang")
+        .agg(
+            F.sum(F.col("en_hits").cast("bigint")).alias("en_stopwords"),
+            F.sum(F.col("fr_hits").cast("bigint")).alias("fr_stopwords"),
+            F.sum(F.col("es_hits").cast("bigint")).alias("es_stopwords"),
+        )
+    )
+
+
+SQL_LANG_STOPWORD = r"""
+SELECT lang,
+       CAST(SUM(len(regexp_extract_all(lower(text), '\b(the|and|of)\b'))) AS BIGINT) AS en_stopwords,
+       CAST(SUM(len(regexp_extract_all(lower(text), '\b(le|la|et)\b'))) AS BIGINT) AS fr_stopwords,
+       CAST(SUM(len(regexp_extract_all(lower(text), '\b(el|los|y)\b'))) AS BIGINT) AS es_stopwords
+FROM documents GROUP BY lang
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized lowercase text
+    (the normalization-then-hash dedup key)."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")
+    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+SQL_FINGERPRINT = r"""
+SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on documents: hash-group, deterministic winner
+    (min doc_id), survivors count per lang — the §2.5 dedup_exact op."""
+    docs = load(spark, sf_dir, "documents")
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_unique_docs"))
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT lang, COUNT(*) AS n_unique_docs FROM (
+  SELECT lang, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1 GROUP BY lang
+"""
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs by word-bigram Jaccard >= 0.8: shingle
+    explode + self-join on shingle + pair aggregation. The exact (quadratic
+    -in-candidates) baseline the MinHash-LSH path approximates."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "), " ")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.zip_with(
+                    words,
+                    F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(1))),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            )
+        ).alias("gram"),
+    ).filter(F.col("gram").contains(" "))
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
+    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(sa, "d1")
+        .join(sb, "d2")
+        .withColumn(
+            "raw_j", F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter"))
+        )
+        .filter(F.col("raw_j") >= 0.8)  # threshold on the UNROUNDED ratio,
+        .select("d1", "d2", F.round("raw_j", 4).alias("jaccard"))  # like the SQL
+    )
+
+
+SQL_NGRAM_JACCARD = r"""
+WITH grams AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, len(regexp_split_to_array(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '))),
+             i -> regexp_split_to_array(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')[i]
+                  || ' ' ||
+                  regexp_split_to_array(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')[i+1]
+           )) AS gram
+    FROM documents
+  )
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT d1, d2,
+       ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = d1
+JOIN sizes sb ON sb.doc_id = d2
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8
+"""
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions over embeddings: L2 norm via
+    aggregate(zip) — JVM-side, no Python (§2.3 array family)."""
+    emb = load(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return emb.groupBy("label").agg(
+        F.round(F.avg(F.sqrt(sq)), 4).alias("avg_l2_norm"),
+        F.count("*").alias("n_vecs"),
+    )
+
+
+SQL_EMB_NORMS = """
+SELECT label,
+       ROUND(AVG(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_l2_norm,
+       COUNT(*) AS n_vecs
+FROM embeddings GROUP BY label
+"""
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for query vectors (vec_id < 3):
+    broadcast the tiny query side, JVM-side zip_with/aggregate dot product.
+    The exact baseline for the LSH-bucketed ANN path (queries_ml)."""
+    emb = load(spark, sf_dir, "embeddings")
+    dvec = F.transform("embedding", lambda x: x.cast("double"))
+    base = emb.select(F.col("vec_id").alias("nbr_id"), dvec.alias("v"))
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), dvec.alias("q")
+    )
+    dot = F.aggregate(
+        F.zip_with("q", "v", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nrm = lambda c: F.sqrt(
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    pairs = (
+        base.crossJoin(F.broadcast(qs))
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .withColumn("cos", F.round(dot / (nrm(F.col("q")) * nrm(F.col("v"))), 4))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), "nbr_id")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "nbr_id", "cos", "rk")
+    )
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS query_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id < 3),
+     pairs AS (
+  SELECT q.query_id, e.vec_id AS nbr_id,
+         ROUND(list_sum(list_transform(range(1, len(qv) + 1),
+                    i -> qv[i] * CAST(e.embedding[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+              * sqrt(list_sum(list_transform(e.embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos
+  FROM q CROSS JOIN embeddings e WHERE q.query_id <> e.vec_id
+)
+SELECT query_id, nbr_id, cos, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, nbr_id) AS rk
+  FROM pairs
+) WHERE rk <= 5
+"""

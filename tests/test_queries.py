@@ -1,0 +1,95 @@
+"""Local replica of the driver's correctness harness (__spark_entry__.py):
+run every queries() entry on Spark at sf0.01 and compare against
+oracle_sql() via DuckDB — row count + column names + order-insensitive
+canonical value comparison. Rows-only entries just need rows >= 0 and a
+stable schema."""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon_cell(v):
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "NULL"
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.4f}"
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def _canon(pdf: pd.DataFrame) -> list[str]:
+    cols = sorted(pdf.columns)
+    rows = [
+        "|".join(_canon_cell(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
+    ]
+    return sorted(rows)
+
+
+ORACLE = entrymod.oracle_sql()
+ALL = entrymod.queries()
+SQL_BACKED = sorted(ORACLE)
+ROWS_ONLY = sorted(set(ALL) - set(ORACLE))
+
+
+@pytest.mark.parametrize("name", SQL_BACKED)
+def test_query_matches_duckdb(spark, duck, name):
+    got = ALL[name](spark, SF_DIR).toPandas()
+    exp = duck.execute(ORACLE[name]).df()
+    assert sorted(got.columns) == sorted(exp.columns), (
+        f"{name}: columns {sorted(got.columns)} != {sorted(exp.columns)}"
+    )
+    assert len(got) == len(exp), f"{name}: rows {len(got)} != {len(exp)}"
+    cg, ce = _canon(got), _canon(exp)
+    mism = [i for i, (a, b) in enumerate(zip(cg, ce)) if a != b][:3]
+    assert cg == ce, f"{name}: first mismatches {[(cg[i], ce[i]) for i in mism]}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    df = ALL[name](spark, SF_DIR)
+    n = df.count()
+    assert n >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    # langid over documents must produce real predictions
+    langs = {r["lang_pred"] for r in rows}
+    assert langs & {"de", "en", "es", "fr", "zh"}
