@@ -1,0 +1,17 @@
+#!/bin/sh
+# Build the --py-files artifact for spark-submit (SURVEY.md §3.1):
+#   sh package.sh && spark-submit --py-files dist/spardaqus_spark.zip main.py ...
+set -e
+cd "$(dirname "$0")"
+mkdir -p dist
+rm -f dist/spardaqus_spark.zip
+python -c "
+import shutil, zipfile, pathlib
+root = pathlib.Path('.')
+with zipfile.ZipFile('dist/spardaqus_spark.zip', 'w', zipfile.ZIP_DEFLATED) as z:
+    for p in sorted(root.glob('spardaqus_spark/**/*.py')):
+        z.write(p, p.as_posix())
+    for p in sorted(root.glob('conf/*')):
+        z.write(p, p.as_posix())
+print('wrote dist/spardaqus_spark.zip')
+"

@@ -2,20 +2,26 @@
 
 Heafield 2011 defines the production tool; the sandbox has no kenlm, so the
 LM is rebuilt from scratch as hashed count tables (SURVEY.md §2.5
-`perplexity`). Pinned semantics (SURVEY.md §2.9.5):
+`perplexity`). Pinned semantics (SURVEY.md §2.9.5, v2 — narrow dtypes for
+memory-bandwidth headroom at 32 concurrent workers):
 
 - char-level, text truncated to MAX_CHARS codepoints, NOT lowercased;
+- n-gram hash: rolling polynomial, uint32 wraparound, P=1000003
+  (kernels/textnum.py); bucket = hash % D_n;
 - ppl = exp(-mean(log p(c_i | c_{i-2}, c_{i-1}))) over positions i >= 2;
 - p = 0.1*p1 + 0.3*p2 + 0.6*p3, each component clipped to <= 1.0
   (hash-bucket collisions can push raw ratios over 1):
     p1 = (T1[u] + 1) / (N + D1)          add-1 floor on unigrams
     p2 = (T2[b] + 1) / (T1[u_prev] + D1)
     p3 = (T3[t] + 1) / (T2[b_prev] + D2)
-- float64 throughout; texts with < 3 codepoints -> ppl = 0.0 (never drops).
+- per-POSITION math runs in float32 (elementwise -> deterministic and
+  batch-size-independent); the per-row mean accumulates in float64; the
+  final ppl is rounded to 6 decimals (pinned grain);
+- texts with < 3 codepoints -> ppl = 0.0 (never drops).
 
 Trained deterministically at first use from the frozen seed texts plus the
 code-token pool (kernels/seeds.py), cached per process (iterator-UDF model
--load-once pattern).
+-load-once pattern). Count tables are float32: <= 180 KB total, L2-resident.
 """
 
 from __future__ import annotations
@@ -24,10 +30,17 @@ import numpy as np
 import pandas as pd
 
 from . import seeds, textnum
+from .textnum import P32
 
 D1, D2, D3 = 1024, 8192, 32768
 MAX_CHARS = 8000
 _MODEL: tuple[np.ndarray, np.ndarray, np.ndarray, float] | None = None
+
+
+def _chunk() -> int:
+    import os
+
+    return int(os.environ.get("SPARDAQUS_PPL_CHUNK", str(1 << 16)))
 
 
 def _train_text() -> str:
@@ -41,12 +54,12 @@ def _train_text() -> str:
 def train_model() -> tuple[np.ndarray, np.ndarray, np.ndarray, float]:
     text = _train_text()
     codes, row_id, _ = textnum.flatten_codepoints(pd.Series([text]))
-    u, ur = textnum.ngram_buckets(codes, row_id, 1, D1)
-    b, br = textnum.ngram_buckets(codes, row_id, 2, D2)
-    t, tr = textnum.ngram_buckets(codes, row_id, 3, D3)
-    T1 = np.bincount(u, minlength=D1).astype(np.float64)
-    T2 = np.bincount(b, minlength=D2).astype(np.float64)
-    T3 = np.bincount(t, minlength=D3).astype(np.float64)
+    u, _ = textnum.ngram_buckets(codes, row_id, 1, D1)
+    b, _ = textnum.ngram_buckets(codes, row_id, 2, D2)
+    t, _ = textnum.ngram_buckets(codes, row_id, 3, D3)
+    T1 = np.bincount(u, minlength=D1).astype(np.float32)
+    T2 = np.bincount(b, minlength=D2).astype(np.float32)
+    T3 = np.bincount(t, minlength=D3).astype(np.float32)
     return T1, T2, T3, float(T1.sum())
 
 
@@ -58,7 +71,7 @@ def get_model() -> tuple[np.ndarray, np.ndarray, np.ndarray, float]:
 
 
 def perplexity(content: pd.Series) -> pd.Series:
-    """Batch ppl -> float64 Series aligned 0..n-1."""
+    """Batch ppl -> float64 Series aligned 0..n-1 (rounded to 6 decimals)."""
     T1, T2, T3, N = get_model()
     s = content.fillna("").astype(str).str.slice(0, MAX_CHARS)
     n = len(s)
@@ -66,30 +79,45 @@ def perplexity(content: pd.Series) -> pd.Series:
     L = len(codes)
     if L < 3:
         return pd.Series(np.zeros(n, dtype=np.float64))
-    # Uncompacted per-position hash arrays over the flat concatenation
-    # (the trigram validity mask below guarantees every indexed position
-    # lies within one row, so boundary-crossing uni/bi values are never read).
-    P = np.uint64(1000003)
-    uni_full = (codes % np.uint64(D1)).astype(np.int64)            # len L
-    bi_full = ((codes[:-1] * P + codes[1:]) % np.uint64(D2)).astype(np.int64)
+    # Uncompacted per-position bucket arrays (int32) over the flat
+    # concatenation; the trigram validity mask guarantees every indexed
+    # position lies within one row.
+    uni_full = (codes % np.uint32(D1)).astype(np.int32)              # len L
+    bi_h = codes[:-1] * P32 + codes[1:]
+    bi_full = (bi_h % np.uint32(D2)).astype(np.int32)                # len L-1
     tri_full = (
-        ((codes[:-2] * P + codes[1:-1]) * P + codes[2:]) % np.uint64(D3)
-    ).astype(np.int64)
+        (bi_h[:-1] * P32 + codes[2:]) % np.uint32(D3)
+    ).astype(np.int32)                                               # len L-2
     valid3 = row_id[: L - 2] == row_id[2:]
     if not valid3.any():
         return pd.Series(np.zeros(n, dtype=np.float64))
-    pos = np.arange(L - 2)[valid3]
-    tri = tri_full[pos]
-    tri_rows = row_id[pos]
-    u_cur = uni_full[pos + 2]         # unigram bucket of c_i
-    u_prev = uni_full[pos + 1]        # unigram bucket of c_{i-1}
-    b_prev = bi_full[pos]             # bigram bucket of (c_{i-2}, c_{i-1})
-    b_cur = bi_full[pos + 1]          # bigram bucket of (c_{i-1}, c_i)
-    p1 = (T1[u_cur] + 1.0) / (N + D1)
-    p2 = np.minimum((T2[b_cur] + 1.0) / (T1[u_prev] + D1), 1.0)
-    p3 = np.minimum((T3[tri] + 1.0) / (T2[b_prev] + D2), 1.0)
-    logp = np.log(0.1 * p1 + 0.3 * p2 + 0.6 * p3)
-    sums = np.bincount(tri_rows, weights=logp, minlength=n)
-    cnts = np.bincount(tri_rows, minlength=n).astype(np.float64)
+    pos_all = np.flatnonzero(valid3).astype(np.int64)
+    one = np.float32(1.0)
+    inv_n1 = one / np.float32(N + D1)
+    sums = np.zeros(n, dtype=np.float64)
+    cnts = np.zeros(n, dtype=np.float64)
+    # Cache blocking: the per-position pipeline materializes ~10 temp
+    # arrays; chunking keeps them cache-resident instead of streaming the
+    # whole batch through DRAM 10x (the measured bottleneck at 32 workers).
+    # Sized so 32 concurrent workers' working sets fit the SHARED L3:
+    # ~10 arrays x CHUNK x 4B x 32 workers. Value affects performance only,
+    # never results (elementwise math, fixed accumulation order).
+    CHUNK = _chunk()
+    for lo in range(0, len(pos_all), CHUNK):
+        pos = pos_all[lo : lo + CHUNK]
+        tri_rows = row_id[pos]
+        p1 = (T1[uni_full[pos + 2]] + one) * inv_n1
+        p2 = np.minimum(
+            (T2[bi_full[pos + 1]] + one) / (T1[uni_full[pos + 1]] + np.float32(D1)),
+            one,
+        )
+        p3 = np.minimum(
+            (T3[tri_full[pos]] + one) / (T2[bi_full[pos]] + np.float32(D2)), one
+        )
+        logp = np.log(
+            np.float32(0.1) * p1 + np.float32(0.3) * p2 + np.float32(0.6) * p3
+        )
+        sums += np.bincount(tri_rows, weights=logp.astype(np.float64), minlength=n)
+        cnts += np.bincount(tri_rows, minlength=n).astype(np.float64)
     out = np.where(cnts > 0, np.exp(-sums / np.maximum(cnts, 1.0)), 0.0)
-    return pd.Series(out, dtype="float64")
+    return pd.Series(np.round(out, 6), dtype="float64")

@@ -2,9 +2,18 @@
 
 Design note (scale): per-row Python work is the enemy at 10^12 files
 (BASELINE.json:15 — "no per-row Python"). This module converts a whole
-Arrow/pandas batch of strings into ONE flat uint64 codepoint array plus
+Arrow/pandas batch of strings into ONE flat uint32 codepoint array plus
 row-offset bookkeeping, so n-gram hashing, bucketing and counting are
 single NumPy calls over the entire batch — C speed, no per-row loop.
+
+Dtype discipline (pinned, v2): the kernels are MEMORY-BANDWIDTH-bound when
+32 workers run concurrently (measured: 0.7 ms/row single-worker vs 4 ms/row
+at 32 workers on the same batch size), so every per-position array uses the
+narrowest dtype that holds the math:
+
+- codepoints: uint32 (utf-32-le is natively 4 bytes — no upcast);
+- rolling polynomial hash: uint32 with mod-2^32 wraparound, P = 1000003;
+- bucket ids / row ids: int32 (buckets < 2^15, batch rows < 2^31).
 
 All hashes are arithmetic over codepoints (deterministic across processes,
 machines and Python versions — unlike ``hash()``), per SURVEY.md §2.9.8.
@@ -15,17 +24,17 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-# Multiplier for rolling polynomial hashes (a common 64-bit string-hash
-# prime; arithmetic wraps mod 2^64 via uint64, which is the pinned spec).
-_P = np.uint64(1000003)
+# Multiplier for rolling polynomial hashes (a common string-hash prime;
+# arithmetic wraps mod 2^32 via uint32 — the pinned spec).
+P32 = np.uint32(1000003)
 
 
 def flatten_codepoints(texts: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Concatenate a batch of strings into one uint64 codepoint array.
+    """Concatenate a batch of strings into one uint32 codepoint array.
 
     Returns ``(codes, row_id, lengths)`` where ``codes[k]`` is the k-th
-    codepoint of the concatenation, ``row_id[k]`` the row it came from,
-    and ``lengths[i]`` the codepoint length of row i. NaN/None -> "".
+    codepoint of the concatenation, ``row_id[k]`` the row it came from
+    (int32), and ``lengths[i]`` the codepoint length of row i. None -> "".
     """
     vals = texts.fillna("").astype(str).to_numpy(dtype=object)
     n = len(vals)
@@ -33,14 +42,14 @@ def flatten_codepoints(texts: pd.Series) -> tuple[np.ndarray, np.ndarray, np.nda
     total = int(lengths.sum())
     if total == 0:
         return (
-            np.empty(0, dtype=np.uint64),
-            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.uint32),
+            np.empty(0, dtype=np.int32),
             lengths,
         )
     # utf-32-le encode is a single C call per row; frombuffer is zero-copy.
     joined = "".join(vals)
-    codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
-    row_id = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    row_id = np.repeat(np.arange(n, dtype=np.int32), lengths)
     return codes, row_id, lengths
 
 
@@ -49,16 +58,16 @@ def ngram_buckets(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Hash every within-row character n-gram to a bucket in [0, dim).
 
-    Returns ``(buckets, gram_row_id)`` for n-grams that do not cross a row
-    boundary. Rolling polynomial hash, uint64 wraparound (pinned).
+    Returns ``(buckets, gram_row_id)`` (both int32) for n-grams that do not
+    cross a row boundary. Rolling polynomial hash, uint32 wraparound.
     """
     if len(codes) < n:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=np.int32), np.empty(0, dtype=np.int32)
     h = codes[: len(codes) - n + 1].copy()
     for k in range(1, n):
-        h = h * _P + codes[k : len(codes) - n + 1 + k]
+        h = h * P32 + codes[k : len(codes) - n + 1 + k]
     valid = row_id[: len(codes) - n + 1] == row_id[n - 1 :]
-    buckets = (h[valid] % np.uint64(dim)).astype(np.int64)
+    buckets = (h[valid] % np.uint32(dim)).astype(np.int32)
     return buckets, row_id[: len(codes) - n + 1][valid]
 
 
@@ -66,5 +75,7 @@ def bucket_count_matrix(
     buckets: np.ndarray, gram_row_id: np.ndarray, n_rows: int, dim: int
 ) -> np.ndarray:
     """Dense (n_rows, dim) float64 count matrix via one bincount call."""
-    flat = np.bincount(gram_row_id * dim + buckets, minlength=n_rows * dim)
+    flat = np.bincount(
+        gram_row_id.astype(np.int64) * dim + buckets, minlength=n_rows * dim
+    )
     return flat.reshape(n_rows, dim).astype(np.float64)

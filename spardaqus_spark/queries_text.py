@@ -158,13 +158,21 @@ SELECT lang, COUNT(*) AS n_unique_docs FROM (
 """
 
 
+MAX_GRAM_DF = 50  # stop-gram cutoff: shingles in more docs carry no
+# near-dup signal but quadratic join fan-out (df^2 rows per gram) — the
+# standard candidate-pruning move in shingle-based dedup. Applied to the
+# similarity UNIVERSE on BOTH engines, so jaccard semantics stay identical.
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup candidate pairs by word-bigram Jaccard >= 0.8: shingle
-    explode + self-join on shingle + pair aggregation. The exact (quadratic
-    -in-candidates) baseline the MinHash-LSH path approximates."""
+    """Near-dup pairs by word-bigram Jaccard >= 0.8 over the rare-gram
+    universe (document frequency <= MAX_GRAM_DF): shingle explode ->
+    df-filter -> self-join on shingle -> pair aggregation. The exact
+    baseline the MinHash-LSH path approximates; the df-filter is what
+    keeps the self-join linear-ish in corpus size at scale."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     words = F.split(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "), " ")
-    grams = docs.select(
+    grams_all = docs.select(
         "doc_id",
         F.explode(
             F.array_distinct(
@@ -176,6 +184,13 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     ).filter(F.col("gram").contains(" "))
+    rare = (
+        grams_all.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= MAX_GRAM_DF)
+        .select("gram")
+    )
+    grams = grams_all.join(rare, "gram")
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = grams.alias("a")
     b = grams.alias("b")
@@ -198,7 +213,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_NGRAM_JACCARD = r"""
-WITH grams AS (
+WITH grams_all AS (
   SELECT DISTINCT doc_id, gram FROM (
     SELECT doc_id,
            unnest(list_transform(
@@ -209,6 +224,9 @@ WITH grams AS (
            )) AS gram
     FROM documents
   )
+), grams AS (
+  SELECT doc_id, gram FROM grams_all
+  WHERE gram IN (SELECT gram FROM grams_all GROUP BY gram HAVING COUNT(*) <= 50)
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
 ), inter AS (

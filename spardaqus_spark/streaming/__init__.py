@@ -1,0 +1,3 @@
+"""Structured Streaming surface (SURVEY.md §2.8) — the Spardaqus
+transport/analyze analog: the SAME batch stage functions reused per
+micro-batch via foreachBatch, plus watermark/window/stateful-dedup ops."""

@@ -1,0 +1,111 @@
+"""Streaming ingest path (SURVEY.md §2.8).
+
+Spardaqus's analyze service consumed a Kafka stream (SURVEY.md App. C);
+this rebuild keeps the identical stage functions and wires them to
+Structured Streaming. In-sandbox the source is a file/rate stream (no
+kafka jar — App. A); in production the same code points at
+``readStream.format("kafka")`` via one config key.
+
+Two shapes:
+
+1. ``scrub_stream`` — continuous per-file pipeline: watermark + the batch
+   stages reused inside ``foreachBatch`` (exactly-once per micro-batch with
+   checkpointLocation; the batch checkpoint/lineage plumbing applies
+   unchanged because foreachBatch hands us a plain DataFrame).
+2. windowed quality telemetry — tumbling/sliding/session aggregates of
+   rule-hit counts past the watermark, append mode.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from ..config import PipelineConfig, default_config
+from ..operators import stages
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame
+    from pyspark.sql.streaming import StreamingQuery
+
+
+def score_micro_batch(batch_df: "DataFrame", batch_id: int, cfg: PipelineConfig,
+                      out_dir: str) -> None:
+    """The foreachBatch body: batch stages verbatim over the micro-batch."""
+    from pyspark.sql import functions as F
+
+    scored = stages.verdict(stages.score(stages.with_sha(batch_df)), cfg)
+    kept = scored.filter(F.col("rule_keep"))
+    clean = stages.scrub_stage(kept, cfg)
+    (
+        clean.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("append")
+        .parquet(out_dir)
+    )
+
+
+def scrub_stream(
+    files_stream: "DataFrame",
+    out_dir: str,
+    checkpoint_dir: str,
+    cfg: PipelineConfig | None = None,
+) -> "StreamingQuery":
+    """files-shaped stream -> scrubbed parquet, exactly-once."""
+    cfg = cfg or default_config()
+    return (
+        files_stream.writeStream.foreachBatch(
+            lambda df, bid: score_micro_batch(df, bid, cfg, out_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _with_event_time(df: "DataFrame") -> "DataFrame":
+    """Watermarks require TIMESTAMP (with zone); parquet streams may carry
+    TIMESTAMP_NTZ — normalize once here."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def windowed_event_counts(events_stream: "DataFrame") -> "DataFrame":
+    """Tumbling 10-min counts past a 10-min watermark (append-safe)."""
+    from pyspark.sql import functions as F
+
+    return (
+        _with_event_time(events_stream).withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionized_event_counts(events_stream: "DataFrame") -> "DataFrame":
+    """Session windows (5-min gap) past the watermark."""
+    from pyspark.sql import functions as F
+
+    return (
+        _with_event_time(events_stream).withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "5 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("sw.start").alias("sess_start"),
+            F.col("sw.end").alias("sess_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events_stream: "DataFrame") -> "DataFrame":
+    """Stateful exact-dedup within the watermark horizon — the streaming
+    form of the batch dedup_exact stage."""
+    return _with_event_time(events_stream).withWatermark(
+        "ts", "10 minutes"
+    ).dropDuplicatesWithinWatermark(["event_id"])

@@ -1,0 +1,90 @@
+"""Property-based invariants (SURVEY.md §5.4) — pure-kernel level, no Spark:
+
+(a) scrub idempotency; (b) no-hit rows byte-stable; (c) metric kernel
+batch-composition invariance; (d) langid/ppl reproducibility across batch
+sizes; (e) verdict determinism under row reordering.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from spardaqus_spark.config import default_config
+from spardaqus_spark.kernels import heuristics, langid, ppl, scrub
+from spardaqus_spark.rules import apply_rules_pandas
+
+# text alphabet exercising ascii, digits, punctuation, accents, CJK,
+# newlines, and the scrub trigger characters
+TEXT = st.text(
+    alphabet=st.sampled_from(
+        list("abcdefXYZ0123456789 .@:-+()[]\n\t!#$%"
+             "éüñ函数值")
+    ),
+    max_size=400,
+)
+BATCH = st.lists(TEXT, min_size=1, max_size=12)
+
+
+@settings(max_examples=60, deadline=None)
+@given(BATCH)
+def test_scrub_idempotent(texts):
+    s = pd.Series(texts)
+    once = scrub.scrub_series(s)
+    twice = scrub.scrub_series(once)
+    assert (once.to_numpy() == twice.to_numpy()).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(TEXT)
+def test_scrub_no_hit_is_byte_stable(text):
+    out = scrub.scrub_series(pd.Series([text]))[0]
+    if out == text:
+        assert hashlib.sha256(out.encode()).hexdigest() == hashlib.sha256(
+            text.encode()
+        ).hexdigest()
+    else:
+        # if bytes changed, a replacement token must be present
+        assert any(t in out for t in scrub.TOKENS.values())
+
+
+@settings(max_examples=40, deadline=None)
+@given(BATCH)
+def test_metrics_batch_composition_invariance(texts):
+    s = pd.Series(texts)
+    whole = heuristics.compute_metrics(s)
+    parts = pd.concat(
+        [heuristics.compute_metrics(pd.Series([t])) for t in texts],
+        ignore_index=True,
+    )
+    pd.testing.assert_frame_equal(whole, parts)
+
+
+@settings(max_examples=30, deadline=None)
+@given(BATCH)
+def test_langid_ppl_batch_invariance(texts):
+    s = pd.Series(texts)
+    lw = langid.predict(s)
+    pw = ppl.perplexity(s)
+    for i, t in enumerate(texts):
+        l1 = langid.predict(pd.Series([t]))
+        assert l1.loc[0, "lang_pred"] == lw.loc[i, "lang_pred"]
+        assert l1.loc[0, "lang_conf"] == lw.loc[i, "lang_conf"]
+        assert ppl.perplexity(pd.Series([t]))[0] == pw[i]
+
+
+@settings(max_examples=30, deadline=None)
+@given(BATCH)
+def test_verdict_order_invariance(texts):
+    cfg = default_config()
+    s = pd.Series(texts)
+    m = heuristics.compute_metrics(s)
+    m["ppl"] = ppl.perplexity(s).to_numpy()
+    m["lang_pred"] = langid.predict(s)["lang_pred"].to_numpy()
+    keep1, hits1 = apply_rules_pandas(cfg.rules, m)
+    rev = m.iloc[::-1].reset_index(drop=True)
+    keep2, hits2 = apply_rules_pandas(cfg.rules, rev)
+    assert keep1.to_numpy()[::-1].tolist() == keep2.to_numpy().tolist()
+    assert [tuple(h) for h in hits1[::-1]] == [tuple(h) for h in hits2]
