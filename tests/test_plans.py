@@ -65,7 +65,12 @@ def test_pipeline_shuffle_budget(spark, files_parquet):
     assert n_exchange == 2, f"expected 2 shuffles, got {n_exchange}:\n{plan[:2000]}"
     # scoring runs as Arrow-batched python stages, verdict as codegen
     assert "MapInPandas" in plan or "ArrowEvalPython" in plan
-    assert "WholeStageCodegen" in plan
+    # the verdict expression tree must compile into whole-stage codegen
+    # (AQE's formatted plan hides spans pre-execution -> use codegen mode)
+    cg = v._sc._jvm.PythonSQLUtils.explainString(
+        v._jdf.queryExecution(), "codegen"
+    )
+    assert "WholeStageCodegen" in cg
 
 
 def test_scrub_stage_adds_no_shuffle(spark, files_parquet):
