@@ -67,6 +67,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis / dedup / similarity (documents, embeddings)
         "doc_line_metrics": QT.q_doc_line_metrics,
         "token_count": QT.q_token_count,
+        "bpe_token_count": QT.q_bpe_token_count,
+        "rolling_fingerprint": QT.q_rolling_fingerprint,
         "quality_score": QT.q_quality_score,
         "lang_stopword_heuristic": QT.q_lang_stopword_heuristic,
         "fingerprint": QT.q_fingerprint,
@@ -111,6 +113,8 @@ def oracle_sql() -> dict[str, str]:
         "global_sort_limit": Q.SQL_SORT_LIMIT,
         "doc_line_metrics": QT.SQL_DOC_LINE_METRICS,
         "token_count": QT.SQL_TOKEN_COUNT,
+        "bpe_token_count": QT.SQL_BPE_TOKENS,
+        "rolling_fingerprint": QT.SQL_ROLLING_FP,
         "quality_score": QT.SQL_QUALITY,
         "lang_stopword_heuristic": QT.SQL_LANG_STOPWORD,
         "fingerprint": QT.SQL_FINGERPRINT,

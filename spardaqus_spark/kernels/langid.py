@@ -5,8 +5,11 @@ rebuilt as pure NumPy so the identical float64 code runs in the oracle and
 inside iterator pandas UDFs (SURVEY.md §2.5 `langid`). No fasttext binary
 exists in the sandbox (SURVEY.md App. A).
 
-Pinned semantics (SURVEY.md §2.9.4):
-- text is lowercased, truncated to MAX_CHARS codepoints;
+Pinned semantics (SURVEY.md §2.9.4, v2):
+- text is truncated to MAX_CHARS codepoints and ASCII-lowercased
+  (codepoints 65..90 += 32; non-ASCII case untouched — accents/CJK carry
+  their own signal, and codepoint-level lowering lets the batch share ONE
+  flat decode with the other kernels);
 - score = mean per-trigram log P(bucket | lang), multinomial NB with add-1
   smoothing over DIM buckets, float64 throughout;
 - scores and confidences are ROUNDED to 9 decimals: BLAS reassociates the
@@ -34,13 +37,23 @@ MAX_CHARS = 4000
 _MODEL: tuple[list[str], np.ndarray] | None = None
 
 
+def _ascii_lower(codes: np.ndarray) -> np.ndarray:
+    upper = (codes >= 65) & (codes <= 90)
+    if not upper.any():
+        return codes
+    out = codes.copy()
+    out[upper] += 32
+    return out
+
+
 def train_model() -> tuple[list[str], np.ndarray]:
     """(labels sorted lexicographically, W[L, DIM] log-prob matrix)."""
     labels = sorted(seeds.LANGS)
     rows = []
     for lang in labels:
-        text = seeds.seed_text(lang).lower()
+        text = seeds.seed_text(lang)
         codes, row_id, _ = textnum.flatten_codepoints(pd.Series([text]))
+        codes = _ascii_lower(codes)
         buckets, gram_rows = textnum.ngram_buckets(codes, row_id, 3, DIM)
         counts = np.bincount(buckets, minlength=DIM).astype(np.float64)
         logp = np.log(counts + 1.0) - np.log(counts.sum() + DIM)
@@ -55,12 +68,20 @@ def get_model() -> tuple[list[str], np.ndarray]:
     return _MODEL
 
 
-def predict(content: pd.Series) -> pd.DataFrame:
-    """Batch langid -> DataFrame(lang_pred: str, lang_conf: float64)."""
+def predict(
+    content: pd.Series,
+    flat: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
+) -> pd.DataFrame:
+    """Batch langid -> DataFrame(lang_pred: str, lang_conf: float64).
+
+    ``flat`` is the optional shared full-content decode; the MAX_CHARS
+    truncation becomes a positional mask over it."""
     labels, W = get_model()
-    s = content.fillna("").astype(str).str.slice(0, MAX_CHARS).str.lower()
-    n = len(s)
-    codes, row_id, _ = textnum.flatten_codepoints(s)
+    n = len(content)
+    if flat is None:
+        flat = textnum.flatten_codepoints(content.fillna("").astype(str))
+    codes, row_id, lengths = textnum.truncate_flat(flat, MAX_CHARS)
+    codes = _ascii_lower(codes)
     buckets, gram_rows = textnum.ngram_buckets(codes, row_id, 3, DIM)
     counts = textnum.bucket_count_matrix(buckets, gram_rows, n, DIM)
     totals = counts.sum(axis=1)

@@ -70,12 +70,19 @@ def get_model() -> tuple[np.ndarray, np.ndarray, np.ndarray, float]:
     return _MODEL
 
 
-def perplexity(content: pd.Series) -> pd.Series:
-    """Batch ppl -> float64 Series aligned 0..n-1 (rounded to 6 decimals)."""
+def perplexity(
+    content: pd.Series,
+    flat: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
+) -> pd.Series:
+    """Batch ppl -> float64 Series aligned 0..n-1 (rounded to 6 decimals).
+
+    ``flat`` is the optional shared full-content decode; MAX_CHARS becomes
+    a positional mask over it."""
     T1, T2, T3, N = get_model()
-    s = content.fillna("").astype(str).str.slice(0, MAX_CHARS)
-    n = len(s)
-    codes, row_id, _ = textnum.flatten_codepoints(s)
+    n = len(content)
+    if flat is None:
+        flat = textnum.flatten_codepoints(content.fillna("").astype(str))
+    codes, row_id, _ = textnum.truncate_flat(flat, MAX_CHARS)
     L = len(codes)
     if L < 3:
         return pd.Series(np.zeros(n, dtype=np.float64))

@@ -53,6 +53,22 @@ def flatten_codepoints(texts: pd.Series) -> tuple[np.ndarray, np.ndarray, np.nda
     return codes, row_id, lengths
 
 
+def truncate_flat(
+    flat: tuple[np.ndarray, np.ndarray, np.ndarray], max_chars: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """View of a flat decode truncated to the first ``max_chars`` codepoints
+    of every row (positional mask — no re-decode). No-op when no row
+    exceeds the limit."""
+    codes, row_id, lengths = flat
+    if len(lengths) == 0 or int(lengths.max(initial=0)) <= max_chars:
+        return flat
+    row_start = np.zeros(len(lengths), dtype=np.int64)
+    row_start[1:] = np.cumsum(lengths)[:-1]
+    i_in_row = np.arange(len(codes), dtype=np.int64) - row_start[row_id]
+    keep = i_in_row < max_chars
+    return codes[keep], row_id[keep], np.minimum(lengths, max_chars)
+
+
 def ngram_buckets(
     codes: np.ndarray, row_id: np.ndarray, n: int, dim: int
 ) -> tuple[np.ndarray, np.ndarray]:

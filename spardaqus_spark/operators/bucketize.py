@@ -39,13 +39,43 @@ def detect_hot_repos(df: "DataFrame", threshold: int) -> list[str]:
     return sorted(r["repo"] for r in rows)
 
 
+def with_bucket_columns(
+    df: "DataFrame",
+    cfg: PipelineConfig | None = None,
+    hot_repos: list[str] | None = None,
+) -> "DataFrame":
+    """+ bucket:int, salt:int as LOGICAL columns (codegen, no shuffle).
+
+    Used by the dedup-first DAG where the physical partitioning comes from
+    the content-hash dedup exchange; bucket/salt drive lineage grain,
+    resume, and the pre-write repartition only.
+    """
+    from pyspark.sql import functions as F
+
+    cfg = cfg or default_config()
+    bucket = F.pmod(F.xxhash64("repo"), F.lit(cfg.num_buckets)).cast("int")
+    if hot_repos:
+        salt = F.when(
+            F.col("repo").isin(hot_repos),
+            F.pmod(F.xxhash64("path"), F.lit(cfg.salt_k)).cast("int"),
+        ).otherwise(F.lit(0))
+    else:
+        salt = F.pmod(F.xxhash64("path"), F.lit(cfg.salt_k)).cast("int")
+    return df.withColumn("bucket", bucket).withColumn("salt", salt)
+
+
 def bucketize(
     df: "DataFrame",
     cfg: PipelineConfig | None = None,
     hot_repos: list[str] | None = None,
     num_partitions: int | None = None,
 ) -> "DataFrame":
-    """+ bucket:int, salt:int; repartition on (bucket, salt) — shuffle #1."""
+    """+ bucket:int, salt:int; repartition on (bucket, salt).
+
+    The explicit-salting path for repo-keyed physical partitioning (prod
+    pre-bucketed inputs; SURVEY.md §1.4). Hot repos detected by the cheap
+    metadata-only pre-pass unless a static hot-list is supplied.
+    """
     from pyspark.sql import functions as F
 
     cfg = cfg or default_config()

@@ -49,16 +49,90 @@ def score(df: "DataFrame", content_col: str = "content") -> "DataFrame":
     out_schema = f"{_schema_str(df)}, {SCORE_FIELDS}"
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels import textnum
+
         for pdf in batches:
-            c = pdf[content_col]
-            m = heuristics.compute_metrics(c)
-            lid = langid.predict(c)
+            c = pdf[content_col].fillna("").astype(str).reset_index(drop=True)
+            # ONE decode of the giant content column, shared by all three
+            # kernels (utf-32 flatten dominates per-batch memory traffic)
+            flat = textnum.flatten_codepoints(c)
+            m = heuristics.compute_metrics(c, flat=flat)
+            lid = langid.predict(c, flat=flat)
             out = pdf.copy()
             for col in m.columns:
                 out[col] = m[col].to_numpy()
             out["lang_pred"] = lid["lang_pred"].to_numpy()
             out["lang_conf"] = lid["lang_conf"].to_numpy()
-            out["ppl"] = ppl.perplexity(c).to_numpy()
+            out["ppl"] = ppl.perplexity(c, flat=flat).to_numpy()
+            yield out
+
+    return df.mapInPandas(fn, out_schema)
+
+
+def score_scrub(
+    df: "DataFrame",
+    cfg: PipelineConfig | None = None,
+    content_col: str = "content",
+) -> "DataFrame":
+    """Fully-fused Python stage: metrics + langid + ppl + VERDICT + scrub
+    in ONE mapInPandas.
+
+    - `content` crosses the JVM<->Python Arrow boundary exactly twice (in
+      once, scrubbed out once) for the WHOLE pipeline — vs four crossings
+      for separate score and scrub stages;
+    - the verdict runs IN-WORKER via the same ``apply_rules_pandas`` the
+      oracle uses (identical semantics by shared code), so the scrub regex
+      chain touches ONLY rows that both pass the rules and won the dedup —
+      no wasted scrubbing, no extra crossing;
+    - dropped rows keep their original bytes (content untouched).
+
+    Output: input columns (content := scrubbed where keep), score struct,
+    rule_keep, rule_hits, keep, scrubbed_sha256. Requires an upstream
+    ``dup_loser`` column (dedup window).
+    """
+    cfg = cfg or default_config()
+    lex = scrub.load_lexicon(cfg.lexicon_path)
+    rules = cfg.rules
+    out_schema = (
+        f"{_schema_str(df)}, {SCORE_FIELDS}, rule_keep boolean, "
+        "rule_hits array<string>, keep boolean, scrubbed_sha256 string"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from ..kernels import textnum
+        from ..rules import apply_rules_pandas
+
+        for pdf in batches:
+            c = pdf[content_col].fillna("").astype(str).reset_index(drop=True)
+            flat = textnum.flatten_codepoints(c)
+            m = heuristics.compute_metrics(c, flat=flat)
+            lid = langid.predict(c, flat=flat)
+            m["lang_pred"] = lid["lang_pred"].to_numpy()
+            m["lang_conf"] = lid["lang_conf"].to_numpy()
+            m["ppl"] = ppl.perplexity(c, flat=flat).to_numpy()
+            rule_keep, hits = apply_rules_pandas(rules, m)
+            keep = rule_keep.to_numpy() & ~pdf["dup_loser"].to_numpy()
+
+            out = pdf.copy()
+            for col in m.columns:
+                out[col] = m[col].to_numpy()
+            out["rule_keep"] = rule_keep.to_numpy()
+            out["rule_hits"] = hits.to_numpy()
+            out["keep"] = keep
+
+            content = c.to_numpy(dtype=object).copy()
+            sha = pd.array([None] * len(c), dtype=object)
+            if keep.any():
+                kept_idx = keep.nonzero()[0]
+                scrubbed = scrub.scrub_series(c.iloc[kept_idx], lex)
+                content[kept_idx] = scrubbed.to_numpy()
+                sha[kept_idx] = scrubbed.map(
+                    lambda x: hashlib.sha256(x.encode("utf-8")).hexdigest()
+                ).to_numpy()
+            out[content_col] = content
+            out["scrubbed_sha256"] = sha
             yield out
 
     return df.mapInPandas(fn, out_schema)

@@ -28,15 +28,35 @@ def sha256_hex(s: pd.Series) -> pd.Series:
 
 
 def score(df: pd.DataFrame) -> pd.DataFrame:
-    """input (repo,path,commit,lang,content) -> + metrics + langid + ppl."""
+    """input (repo,path,commit,lang,content) -> + metrics + langid + ppl.
+
+    Processes in fixed-size slices (the oracle is single-process; slicing
+    bounds peak memory at any corpus size) through the SAME shared-decode
+    path the Spark stage uses."""
+    from .kernels import textnum
+
     out = df.reset_index(drop=True).copy()
-    m = heuristics.compute_metrics(out["content"])
-    for c in m.columns:
-        out[c] = m[c].to_numpy()
-    lid = langid.predict(out["content"])
-    out["lang_pred"] = lid["lang_pred"].to_numpy()
-    out["lang_conf"] = lid["lang_conf"].to_numpy()
-    out["ppl"] = ppl.perplexity(out["content"]).to_numpy()
+    parts = []
+    step = 8192
+    for lo in range(0, len(out), step):
+        c = (
+            out["content"]
+            .iloc[lo : lo + step]
+            .fillna("")
+            .astype(str)
+            .reset_index(drop=True)
+        )
+        flat = textnum.flatten_codepoints(c)
+        m = heuristics.compute_metrics(c, flat=flat)
+        lid = langid.predict(c, flat=flat)
+        m["lang_pred"] = lid["lang_pred"].to_numpy()
+        m["lang_conf"] = lid["lang_conf"].to_numpy()
+        m["ppl"] = ppl.perplexity(c, flat=flat).to_numpy()
+        parts.append(m)
+    if parts:
+        sc = pd.concat(parts, ignore_index=True)
+        for col in sc.columns:
+            out[col] = sc[col].to_numpy()
     return out
 
 

@@ -2,13 +2,25 @@
 
 Logical DAG (all lazy — Catalyst optimizes the whole thing as one plan):
 
-    read -> bucketize (shuffle #1) -> sha2 -> dedup window (shuffle #2)
+    read -> sha2 (codegen) -> dedup window (shuffle #1, hash by content
+         sha: PERFECTLY uniform, so the scoring stages that pipeline on top
+         of it are skew-free by construction — no mega-repo can hot-spot a
+         content-hash partitioning)
          -> fused score mapInPandas (narrow) -> verdict (codegen)
-         -> [kept rows] scrub mapInPandas (narrow) -> write(partitionBy bucket)
-         -> lineage agg + per-bucket manifest commits
+         -> [kept rows only] scrub mapInPandas (narrow)
+         -> bucketize repartition (shuffle #2 — repo-hash bucket + salt,
+            kept rows only, so the write lands 1-2 files per task per
+            bucket and resume/pruning stay bucket-grained)
+         -> write(partitionBy bucket) + lineage agg + per-bucket manifests
 
-Exactly two shuffles at any scale; scoring+scrub pipeline in a single
-narrow stage chain over the bucketized partitioning (SURVEY.md §4.2).
+Exactly two shuffles at any scale, and shuffle #2 carries only the ~75%
+kept, scrubbed rows. The dedup-first ordering also removes the per-run
+hot-repo detection scan: salting is only needed when scoring runs on a
+repo-keyed partitioning, which this DAG never does. That path still exists
+for production inputs that arrive ALREADY bucketed by Iceberg's
+``bucket(repo)`` transform (no dedup shuffle wanted before scoring):
+``build_verdict_frame(..., prebucketed=True)`` scores on the (bucket,
+salt) partitioning with explicit hot-repo salting (SURVEY.md §1.4).
 """
 
 from __future__ import annotations
@@ -26,26 +38,54 @@ if TYPE_CHECKING:
 
 
 def build_verdict_frame(
-    df: "DataFrame", cfg: PipelineConfig | None = None, hot_repos: list[str] | None = None
+    df: "DataFrame",
+    cfg: PipelineConfig | None = None,
+    hot_repos: list[str] | None = None,
+    prebucketed: bool = False,
 ) -> "DataFrame":
     """read-input -> scored + verdict frame (keep, rule_hits, dup_loser).
-    Pure plan construction — nothing executes."""
+    Pure plan construction — nothing executes.
+
+    Default (dedup-first): the content-hash dedup exchange doubles as the
+    skew-free physical partitioning for scoring; ``bucket``/``salt`` are
+    logical columns only until the write repartition.
+
+    ``prebucketed=True``: input arrives physically partitioned by Iceberg's
+    ``bucket(repo)`` — score in place with explicit hot-repo salting, and
+    dedup via the same window afterwards.
+    """
     cfg = cfg or default_config()
-    df = bk.bucketize(df, cfg, hot_repos=hot_repos)
-    df = stages.with_sha(df)
-    df = stages.dedup_exact(df)
-    df = stages.score(df)
+    if prebucketed:
+        df = bk.bucketize(df, cfg, hot_repos=hot_repos)
+        df = stages.with_sha(df)
+        df = stages.score(df)
+        df = stages.dedup_exact(df)
+    else:
+        df = bk.with_bucket_columns(df, cfg)  # logical columns, no shuffle
+        df = stages.with_sha(df)
+        df = stages.dedup_exact(df)  # shuffle #1: uniform content-hash
+        # fused score+verdict+scrub: 2 Arrow crossings total, scrub only
+        # on kept rows, verdict via the oracle-shared pandas rules
+        return stages.score_scrub(df, cfg)
     df = stages.verdict(df, cfg)
     df = stages.final_keep(df)
     return df
 
 
 def build_clean_frame(df_verdict: "DataFrame", cfg: PipelineConfig | None = None) -> "DataFrame":
-    """verdict frame -> files_clean (kept rows, scrubbed content)."""
+    """verdict frame -> files_clean (kept rows, scrubbed content), then the
+    bucket repartition (shuffle #2, kept rows only) for write layout.
+
+    The default (fused) verdict frame already carries scrubbed content +
+    scrubbed_sha256; the prebucketed path scrubs here instead."""
     from pyspark.sql import functions as F
 
+    cfg = cfg or default_config()
     kept = df_verdict.filter(F.col("keep"))
-    return stages.scrub_stage(kept, cfg)
+    if "scrubbed_sha256" not in kept.columns:
+        kept = stages.scrub_stage(kept, cfg)
+    n = kept.sparkSession.sparkContext.defaultParallelism * 2
+    return kept.repartition(n, "bucket", "salt")
 
 
 def run(

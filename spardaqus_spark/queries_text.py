@@ -67,6 +67,61 @@ FROM documents GROUP BY source
 """
 
 
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish tokenization: GPT-2-style pretokenizer regex (word pieces,
+    number runs, punctuation runs) — the token-budget estimator a training
+    pipeline runs before spending real tokenizer cycles."""
+    docs = load(spark, sf_dir, "documents")
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+    toks = F.regexp_count("text", F.lit(pat))
+    return docs.groupBy("lang").agg(
+        F.sum(toks.cast("bigint")).alias("bpe_tokens"),
+        F.round(F.avg(toks), 4).alias("avg_bpe_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+SQL_BPE_TOKENS = r"""
+SELECT lang,
+       CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))) AS BIGINT) AS bpe_tokens,
+       ROUND(AVG(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))), 4) AS avg_bpe_tokens,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint: min/max of the 8-char shingle
+    hash stream (winnowing's two anchors) — cheap locality-sensitive
+    signature, fully codegen'd via higher-order array functions."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")
+    d = docs.select("doc_id", norm.alias("t")).withColumn("n", F.length("t"))
+    idx = F.sequence(F.lit(1), F.greatest(F.col("n") - 7, F.lit(1)))
+    hashes = F.transform(idx, lambda i: F.md5(F.col("t").substr(i, F.lit(8))))
+    return d.select(
+        "doc_id",
+        F.array_min(hashes).alias("fp_min"),
+        F.array_max(hashes).alias("fp_max"),
+    )
+
+
+SQL_ROLLING_FP = r"""
+SELECT doc_id,
+       list_min(hs) AS fp_min,
+       list_max(hs) AS fp_max
+FROM (
+  SELECT doc_id,
+         list_transform(
+           range(1, GREATEST(length(t) - 7, 1) + 1),
+           i -> md5(substring(t, i, 8))
+         ) AS hs
+  FROM (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+        FROM documents)
+)
+"""
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score: length + punctuation ratio + uppercase
     ratio (Gopher-style rule calibration surface)."""

@@ -53,16 +53,15 @@ def test_dim_joins_broadcast(spark):
 
 
 def test_pipeline_shuffle_budget(spark, files_parquet):
-    """Exactly two Exchanges in the verdict DAG: the bucketize repartition
-    and the dedup window hash-partition (SURVEY.md §4.2). Scoring + verdict
-    must pipeline with NO additional shuffle."""
+    """Exactly ONE Exchange in the verdict DAG — the dedup window's
+    content-hash partition, which doubles as the (perfectly uniform)
+    physical partitioning for the scoring stages. Scoring + verdict
+    pipeline on top with NO additional shuffle (SURVEY.md §4.2)."""
     src = spark.read.parquet(files_parquet)
-    v = pipeline.build_verdict_frame(
-        src, default_config(), hot_repos=["mega/repo0", "mega/repo1"]
-    )
+    v = pipeline.build_verdict_frame(src, default_config())
     plan = _plan(v)
     n_exchange = plan.count("+- Exchange") + plan.count(":- Exchange")
-    assert n_exchange == 2, f"expected 2 shuffles, got {n_exchange}:\n{plan[:2000]}"
+    assert n_exchange == 1, f"expected 1 shuffle, got {n_exchange}:\n{plan[:2000]}"
     # scoring runs as Arrow-batched python stages, verdict as codegen
     assert "MapInPandas" in plan or "ArrowEvalPython" in plan
     # the verdict expression tree must compile into whole-stage codegen
@@ -73,11 +72,28 @@ def test_pipeline_shuffle_budget(spark, files_parquet):
     assert "WholeStageCodegen" in cg
 
 
-def test_scrub_stage_adds_no_shuffle(spark, files_parquet):
+def test_full_dag_two_shuffles(spark, files_parquet):
+    """End-to-end budget: dedup exchange + the pre-write bucket/salt
+    repartition of KEPT rows only. The scrub stage itself adds nothing."""
     src = spark.read.parquet(files_parquet)
-    v = pipeline.build_verdict_frame(
-        src, default_config(), hot_repos=["mega/repo0", "mega/repo1"]
-    )
+    v = pipeline.build_verdict_frame(src, default_config())
     clean = pipeline.build_clean_frame(v, default_config())
     p = _plan(clean)
     assert p.count("+- Exchange") + p.count(":- Exchange") == 2
+
+
+def test_prebucketed_path_salts_and_scores_in_place(spark, files_parquet):
+    """Production shape: input already bucket(repo)-partitioned -> explicit
+    bucketize with hot-repo salting, scoring before the dedup window."""
+    src = spark.read.parquet(files_parquet)
+    v = pipeline.build_verdict_frame(
+        src,
+        default_config(),
+        hot_repos=["mega/repo0", "mega/repo1"],
+        prebucketed=True,
+    )
+    plan = _plan(v)
+    n_exchange = plan.count("+- Exchange") + plan.count(":- Exchange")
+    assert n_exchange == 2  # bucketize repartition + dedup window
+    got = v.select("repo", "path", "commit", "keep").toPandas()
+    assert len(got) > 0
