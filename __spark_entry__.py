@@ -76,12 +76,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": QT.q_ngram_jaccard_pairs,
         "embedding_norms": QT.q_embedding_norms,
         "cosine_topk": QT.q_cosine_topk,
+        "embedding_near_dup": QT.q_embedding_near_dup,
+        "median_stats": QT.q_median_stats,
+        "explode_array_funcs": QT.q_explode_array_funcs,
         # model/sketch-backed (rows-only checks)
         "pipeline_documents": QM.q_pipeline_documents,
         "minhash_lsh_pairs": QM.q_minhash_lsh_pairs,
         "simhash_buckets": QM.q_simhash_buckets,
         "ann_lsh_cosine": QM.q_ann_lsh_cosine,
         "multimodal_features": QM.q_multimodal_features,
+        "multimodal_resize": QM.q_multimodal_resize,
+        "multimodal_frame_sample": QM.q_multimodal_frame_sample,
     }
 
 
@@ -122,6 +127,9 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": QT.SQL_NGRAM_JACCARD,
         "embedding_norms": QT.SQL_EMB_NORMS,
         "cosine_topk": QT.SQL_COSINE_TOPK,
+        "embedding_near_dup": QT.SQL_EMB_NEAR_DUP,
+        "median_stats": QT.SQL_MEDIAN_STATS,
+        "explode_array_funcs": QT.SQL_EXPLODE_ARRAY,
         # pipeline_documents / minhash_lsh_pairs / simhash_buckets /
         # ann_lsh_cosine / multimodal_features: intentionally omitted —
         # model- or sketch-backed, not ANSI-SQL-expressible.

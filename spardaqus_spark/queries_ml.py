@@ -183,7 +183,7 @@ def q_ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .withColumn("cos", F.round(dot / (nrm(F.col("a.v")) * nrm(F.col("b.v"))), 4))
-        .filter(F.col("cos") >= 0.9)
+        .filter(F.col("cos") >= 0.3)
         .select(
             F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2"), "cos"
         )
@@ -222,9 +222,26 @@ def q_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def try_decode_image(payload: bytes) -> "object":
+    """Real image decode slot. The container ships no codec libraries
+    (task brief), so this raises unless PIL appears in the environment —
+    the Spark-side plumbing around it (binary column, Arrow batching,
+    schema) is real and tested with the deterministic fallback."""
+    try:
+        from PIL import Image  # noqa: F401  (absent in this sandbox)
+        import io
+
+        return Image.open(io.BytesIO(payload))
+    except ImportError as e:
+        raise NotImplementedError("no image codec in this environment") from e
+
+
 MULTIMODAL_SCHEMA = (
     "asset_id bigint, kind string, n_bytes bigint, feat array<double>"
 )
+
+RESIZE_SCHEMA = "asset_id bigint, grid array<double>, n_cells int"
+FRAMES_SCHEMA = "asset_id bigint, frame_idx int, frame_feat array<double>"
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -277,3 +294,71 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("feat", F.transform("feat", lambda x: F.round(x, 4)))
         .orderBy("asset_id")
     )
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: reduce each binary payload to a fixed 4x4 grid of
+    byte-mean cells (the deterministic stand-in for image resize; a real
+    decoder slots into try_decode_image). Demonstrates fixed-shape array
+    output from variable-length binaries through Arrow."""
+    import numpy as np
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"), F.encode("text", "utf-8").alias("payload")
+    )
+
+    def fn(batches):
+        G = 16
+        for pdf in batches:
+            grids = []
+            for buf in pdf["payload"]:
+                b = np.frombuffer(bytes(buf), dtype=np.uint8)
+                if len(b) == 0:
+                    grids.append([0.0] * G)
+                    continue
+                # split into G equal-ish cells, mean each (area-style resample)
+                cells = np.array_split(b.astype(np.float64), G)
+                grids.append([round(float(c.mean()) if len(c) else 0.0, 4) for c in cells])
+            yield pd.DataFrame(
+                {"asset_id": pdf["asset_id"], "grid": grids,
+                 "n_cells": [G] * len(pdf)}
+            )
+
+    return assets.mapInPandas(fn, RESIZE_SCHEMA).orderBy("asset_id")
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: treat each payload as a 'video' of fixed
+    1024-byte frames, sample every 8th frame deterministically, emit one
+    row per sampled frame (1:N mapInPandas fan-out — the shape a real
+    ffmpeg-backed sampler needs)."""
+    import numpy as np
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"), F.encode("text", "utf-8").alias("payload")
+    )
+
+    def fn(batches):
+        FRAME, STRIDE = 1024, 8
+        for pdf in batches:
+            ids, idxs, feats = [], [], []
+            for aid, buf in zip(pdf["asset_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(buf), dtype=np.uint8)
+                n_frames = max(len(b) // FRAME, 1)
+                for k in range(0, n_frames, STRIDE):
+                    fr = b[k * FRAME : (k + 1) * FRAME].astype(np.float64)
+                    ids.append(aid)
+                    idxs.append(k)
+                    feats.append(
+                        [round(float(fr.mean()) if len(fr) else 0.0, 4),
+                         round(float(fr.std()) if len(fr) else 0.0, 4)]
+                    )
+            yield pd.DataFrame(
+                {"asset_id": ids, "frame_idx": idxs, "frame_feat": feats}
+            )
+
+    return assets.mapInPandas(fn, FRAMES_SCHEMA).orderBy("asset_id", "frame_idx")

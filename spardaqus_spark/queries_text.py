@@ -322,6 +322,101 @@ FROM embeddings GROUP BY label
 """
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (cos >= 0.35 — the top ~0.1% of the pair-similarity distribution in this corpus, which contains no true dups; threshold is data-calibrated): the oracle-
+    checked baseline for the LSH-bucketed variant (queries_ml
+    q_ann_lsh_cosine). Quadratic by design — at scale the LSH path
+    replaces the cross join; this one pins the semantics."""
+    emb = load(spark, sf_dir, "embeddings")
+    dvec = F.transform("embedding", lambda x: x.cast("double"))
+    v = emb.select("vec_id", dvec.alias("v"))
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
+    raw = dot / (nrm(F.col("a.v")) * nrm(F.col("b.v")))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("raw_cos", raw)
+        .filter(F.col("raw_cos") >= 0.35)
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            F.round("raw_cos", 4).alias("cos"),
+        )
+    )
+
+
+SQL_EMB_NEAR_DUP = """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+           FROM embeddings)
+SELECT a.vec_id AS v1, b.vec_id AS v2,
+       ROUND(list_sum(list_transform(range(1, len(a.dv) + 1),
+                  i -> a.dv[i] * b.dv[i]))
+         / (sqrt(list_sum(list_transform(a.dv, x -> x * x)))
+            * sqrt(list_sum(list_transform(b.dv, x -> x * x)))), 4) AS cos
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(range(1, len(a.dv) + 1), i -> a.dv[i] * b.dv[i]))
+      / (sqrt(list_sum(list_transform(a.dv, x -> x * x)))
+         * sqrt(list_sum(list_transform(b.dv, x -> x * x)))) >= 0.35
+"""
+
+
+def q_median_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/median/min-max family (SURVEY §2.2 aggregations)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.median("l_quantity"), 4).alias("med_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.count_distinct("l_partkey").alias("n_parts"),
+    )
+
+
+SQL_MEDIAN_STATS = """
+SELECT l_linestatus,
+       ROUND(CAST(median(l_quantity) AS DOUBLE), 4) AS med_qty,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price,
+       COUNT(DISTINCT l_partkey) AS n_parts
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+def q_explode_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode + array functions over per-doc word arrays: position-
+    weighted vocabulary (§2.3 array family through the oracle)."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "), " ")
+    w = docs.select("doc_id", F.posexplode(words).alias("pos", "word"))
+    return (
+        w.filter((F.length("word") >= 6) & (F.col("pos") < 50))
+        .groupBy("word")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("pos"), 4).alias("avg_pos"),
+        )
+        .filter(F.col("n") >= 20)
+    )
+
+
+SQL_EXPLODE_ARRAY = r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           regexp_split_to_array(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '),
+           (x, i) -> struct_pack(word := x, pos := i - 1)), recursive := true)
+  FROM documents
+)
+SELECT word, COUNT(*) AS n, ROUND(AVG(pos), 4) AS avg_pos
+FROM w WHERE length(word) >= 6 AND pos < 50
+GROUP BY word HAVING COUNT(*) >= 20
+"""
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for query vectors (vec_id < 3):
     broadcast the tiny query side, JVM-side zip_with/aggregate dot product.
