@@ -63,6 +63,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "having_filter": Q.q_having_filter,
         "sessionize": Q.q_sessionize,
         "tumbling_hourly": Q.q_tumbling_hourly,
+        "sliding_windows": Q.q_sliding_windows,
+        "full_outer_ranked": Q.q_full_outer_ranked,
+        "collect_set_sorted": Q.q_collect_set_sorted,
+        "cardinality_sketches": Q.q_cardinality_sketches,
         "global_sort_limit": Q.q_global_sort_limit,
         # text analysis / dedup / similarity (documents, embeddings)
         "doc_line_metrics": QT.q_doc_line_metrics,
@@ -115,6 +119,10 @@ def oracle_sql() -> dict[str, str]:
         "having_filter": Q.SQL_HAVING,
         "sessionize": Q.SQL_SESSIONIZE,
         "tumbling_hourly": Q.SQL_TUMBLING,
+        "sliding_windows": Q.SQL_SLIDING,
+        "full_outer_ranked": Q.SQL_FULL_OUTER_RANKED,
+        "collect_set_sorted": Q.SQL_COLLECT_SET,
+        # cardinality_sketches: rows-only (HLL estimates are impl-specific)
         "global_sort_limit": Q.SQL_SORT_LIMIT,
         "doc_line_metrics": QT.SQL_DOC_LINE_METRICS,
         "token_count": QT.SQL_TOKEN_COUNT,

@@ -604,6 +604,96 @@ FROM events GROUP BY date_trunc('hour', ts), event_type
 """
 
 
+def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window agg (10-min window, 5-min slide) in batch form —
+    each event lands in 2 windows; the streaming twin is
+    F.window(ts, '10 minutes', '5 minutes') (§2.8)."""
+    ev = load(spark, sf_dir, "events")
+    w = F.window("ts", "10 minutes", "5 minutes")
+    return (
+        ev.groupBy(w.alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n", "total_value")
+    )
+
+
+SQL_SLIDING = """
+WITH slid AS (
+  SELECT event_type, value,
+         unnest([CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP),
+                 CAST(to_timestamp(floor(epoch(ts) / 300) * 300 - 300) AS TIMESTAMP)]) AS win_start
+  FROM events
+)
+SELECT win_start, event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+FROM slid GROUP BY win_start, event_type
+"""
+
+
+def q_full_outer_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join + ntile/percent_rank window family."""
+    cust = load(spark, sf_dir, "customer")
+    sup = load(spark, sf_dir, "supplier")
+    c = cust.groupBy("c_nationkey").agg(F.count("*").alias("n_cust"))
+    s = sup.groupBy("s_nationkey").agg(F.count("*").alias("n_supp"))
+    j = c.join(s, c.c_nationkey == s.s_nationkey, "full").select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+    w = W.orderBy(F.desc("n_cust"), "nationkey")
+    return j.select(
+        "nationkey",
+        "n_cust",
+        "n_supp",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+    )
+
+
+SQL_FULL_OUTER_RANKED = """
+WITH c AS (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey),
+     s AS (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey),
+     j AS (SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+                  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+           FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey)
+SELECT nationkey, n_cust, n_supp,
+       NTILE(4) OVER (ORDER BY n_cust DESC, nationkey) AS quartile,
+       ROUND(PERCENT_RANK() OVER (ORDER BY n_cust DESC, nationkey), 4) AS pct_rank
+FROM j
+"""
+
+
+def q_collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set with pinned ordering (sort_array) so the array value is
+    deterministic and oracle-comparable."""
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    j = nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    return j.groupBy("r_name").agg(
+        F.sort_array(F.collect_set("n_name")).alias("nations"),
+        F.count("*").alias("n"),
+    )
+
+
+SQL_COLLECT_SET = """
+SELECT r_name, list_sort(list_distinct(list(n_name))) AS nations, COUNT(*) AS n
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_cardinality_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approx_count_distinct next to the exact count (10^12-scale
+    cardinality pattern, §2.2). Rows-only: sketch estimates are
+    implementation-specific by nature."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
 def q_global_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global order-by + limit -> TakeOrderedAndProject (no full sort)."""
     orders = load(spark, sf_dir, "orders")

@@ -199,7 +199,9 @@ def q_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is enforced separately in tests/test_pipeline_oracle.py."""
     from .config import default_config
     from .operators import stages
+    from .session import ship_package
 
+    ship_package(spark)  # driver-owned sessions may lack our PYTHONPATH
     docs = load(spark, sf_dir, "documents")
     corpus = docs.select(
         F.concat(F.lit("src/"), F.col("source")).alias("repo"),

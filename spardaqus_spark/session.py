@@ -31,6 +31,30 @@ def _export_pythonpath() -> None:
         )
 
 
+def ship_package(spark: SparkSession) -> None:
+    """Make `spardaqus_spark` importable by python workers of an ALREADY
+    RUNNING session (e.g. one the driver harness created before importing
+    us, from an arbitrary cwd). Zips the package once per process and
+    addPyFile's it — the runtime analog of spark-submit --py-files."""
+    sc = spark.sparkContext
+    if getattr(sc, "_spardaqus_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    zpath = os.path.join(tempfile.gettempdir(), "spardaqus_spark_pkg.zip")
+    if not os.path.exists(zpath):
+        pkg = Path(_PKG_ROOT) / "spardaqus_spark"
+        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+            for p in sorted(pkg.rglob("*.py")):
+                z.write(p, p.relative_to(Path(_PKG_ROOT)).as_posix())
+    try:
+        sc.addPyFile(zpath)
+    except Exception:
+        pass  # already registered in this context
+    sc._spardaqus_shipped = True
+
+
 def get_spark(
     app: str = "spardaqus_spark",
     master: str | None = None,
