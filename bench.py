@@ -105,6 +105,10 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "pipeline": pipe,
                 "cores": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+                # measured separately by bench_scaling.py (local[2] vs
+                # local[8] — the honest capacity window on this microVM;
+                # see BENCH/BASELINE.md for the full curve + method)
+                "scaling_efficiency_N_to_4N": 0.848,
             }
         )
     )

@@ -66,8 +66,14 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     sig = minhash_signatures(docs)
     rows_per_band = N_HASHES // N_BANDS
+    # carry the full signature THROUGH the band explode: the bucket self-
+    # join then yields (d1, d2, sig1, sig2) directly — the expensive
+    # shingle->signature subtree is planned twice (once per join side)
+    # instead of three times, and the two signature re-join shuffles
+    # disappear. +128B/row of shuffle width for a whole stage less work.
     bands = sig.select(
         "doc_id",
+        "sig",
         F.explode(
             F.array(
                 *[
@@ -84,29 +90,27 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("e"),
-    ).select("doc_id", "e.band", "e.bh")
+    ).select("doc_id", "sig", "e.band", "e.bh")
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .distinct()
-    )
-    # verify candidates with the true signature agreement fraction
-    # (reuse `sig` — one lineage, Catalyst plans the scan once per join side)
-    s1 = sig.select(F.col("doc_id").alias("d1"), F.col("sig").alias("sig1"))
-    s2 = sig.select(F.col("doc_id").alias("d2"), F.col("sig").alias("sig2"))
     est = F.aggregate(
         F.zip_with("sig1", "sig2", lambda x, y: (x == y).cast("int")),
         F.lit(0),
         lambda acc, x: acc + x,
     ) / F.lit(float(N_HASHES))
     return (
-        cand.join(s1, "d1").join(s2, "d2")
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.sig").alias("sig1"),
+            F.col("b.sig").alias("sig2"),
+        )
+        .dropDuplicates(["d1", "d2"])
         .withColumn("est_jaccard", F.round(est, 4))
         .filter(F.col("est_jaccard") >= 0.5)
         .select("d1", "d2", "est_jaccard")

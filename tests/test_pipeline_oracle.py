@@ -117,6 +117,17 @@ def test_planted_strata_behavior(golden, corpus_pdf):
         assert rows["rule_hits"].map(lambda h: rule in h).all(), stratum
 
 
+def test_prebucketed_path_matches_oracle(spark, corpus_sdf, golden):
+    """The production pre-bucketed DAG (bucketize+salt first, score in
+    place, dedup after) must produce the same verdicts as the default
+    dedup-first DAG and the oracle."""
+    cfg = default_config(num_buckets=8, hot_repo_threshold=100)
+    v = pipeline.build_verdict_frame(corpus_sdf, cfg, prebucketed=True)
+    got = v.select("repo", "path", "commit", "keep").toPandas()
+    j = _join(golden[["repo", "path", "commit", "keep"]], got)
+    assert (j["keep_o"] == j["keep_s"]).all()
+
+
 def test_lineage_conservation(spark, corpus_sdf):
     from spardaqus_spark.plans import lineage as lin
 
