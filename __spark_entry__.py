@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": QT.q_fingerprint,
         "dedup_exact_docs": QT.q_dedup_exact_docs,
         "ngram_jaccard_pairs": QT.q_ngram_jaccard_pairs,
+        "boilerplate_tokens": QT.q_boilerplate_tokens,
+        "trimmed_mean_grouped_agg": Q.q_trimmed_mean_grouped_agg,
         "embedding_norms": QT.q_embedding_norms,
         "cosine_topk": QT.q_cosine_topk,
         "embedding_near_dup": QT.q_embedding_near_dup,
@@ -133,6 +135,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": QT.SQL_FINGERPRINT,
         "dedup_exact_docs": QT.SQL_DEDUP_EXACT,
         "ngram_jaccard_pairs": QT.SQL_NGRAM_JACCARD,
+        "boilerplate_tokens": QT.SQL_BOILERPLATE,
+        "trimmed_mean_grouped_agg": Q.SQL_TRIMMED_MEAN,
         "embedding_norms": QT.SQL_EMB_NORMS,
         "cosine_topk": QT.SQL_COSINE_TOPK,
         "embedding_near_dup": QT.SQL_EMB_NEAR_DUP,

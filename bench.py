@@ -108,7 +108,7 @@ def main() -> None:
                 # measured separately by bench_scaling.py (local[2] vs
                 # local[8] — the honest capacity window on this microVM;
                 # see BENCH/BASELINE.md for the full curve + method)
-                "scaling_efficiency_N_to_4N": 0.848,
+                "scaling_efficiency_N_to_4N": 0.805,
             }
         )
     )

@@ -694,6 +694,49 @@ def q_cardinality_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trimmed_mean_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF (SURVEY §2.4): 10-90% trimmed mean per
+    event_type. Pinned: bounds = round(linear-interpolated percentile, 6)
+    (np.percentile 'linear' == quantile_cont), inclusive, mean rounded 4."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _tm(v):
+        a = v.to_numpy(dtype=np.float64)
+        if len(a) == 0:
+            return float("nan")
+        lo = round(float(np.percentile(a, 10)), 6)
+        hi = round(float(np.percentile(a, 90)), 6)
+        sel = a[(a >= lo) & (a <= hi)]
+        return round(float(sel.mean()), 4) if len(sel) else float("nan")
+
+    # real (non-string) annotations: this module uses postponed annotation
+    # evaluation, which Spark's Series->scalar hint inspection can't read
+    _tm.__annotations__ = {"v": pd.Series, "return": float}
+    trimmed_mean = pandas_udf(_tm, "double")
+
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        trimmed_mean("value").alias("trimmed_mean_value")
+    )
+
+
+SQL_TRIMMED_MEAN = """
+WITH q AS (
+  SELECT event_type,
+         ROUND(CAST(quantile_cont(value, 0.1) AS DOUBLE), 6) AS lo,
+         ROUND(CAST(quantile_cont(value, 0.9) AS DOUBLE), 6) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       ROUND(AVG(value), 4) AS trimmed_mean_value
+FROM events e JOIN q ON e.event_type = q.event_type
+WHERE value >= lo AND value <= hi
+GROUP BY e.event_type
+"""
+
+
 def q_global_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global order-by + limit -> TakeOrderedAndProject (no full sort)."""
     orders = load(spark, sf_dir, "orders")

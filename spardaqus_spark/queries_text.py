@@ -465,3 +465,58 @@ SELECT query_id, nbr_id, cos, rk FROM (
   FROM pairs
 ) WHERE rk <= 5
 """
+
+
+def q_boilerplate_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map (SURVEY §2.4): per-source boilerplate —
+    lowercased words present in >= 80% of the source's docs (per-source
+    stop-tokens). The cross-file-context op the row-local pipeline can't
+    express; per-repo boilerplate detection at corpus scale is this exact
+    shape with repo as the key. (Whole-LINE sharing is zero in this
+    corpus — measured — so the word grain keeps the check non-vacuous.)
+    Pinned: words = whitespace-split of lowercased text, counted once per
+    doc, frac rounded to 4."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    schema = "source string, word string, n_docs bigint, frac double"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        total = pdf["doc_id"].nunique()
+        words = pdf["text"].fillna("").str.lower().str.split()
+        ex = words.explode()
+        d = pd.DataFrame(
+            {"doc": pdf["doc_id"].reindex(ex.index).to_numpy(), "word": ex.to_numpy()}
+        )
+        d = d[d["word"].notna() & (d["word"] != "")].drop_duplicates()
+        cnt = d.groupby("word")["doc"].nunique()
+        hit = cnt[cnt / total >= 0.8]
+        return pd.DataFrame(
+            {
+                "source": pdf["source"].iloc[0],
+                "word": hit.index,
+                "n_docs": hit.to_numpy(),
+                "frac": (hit / total).round(4).to_numpy(),
+            }
+        )
+
+    return docs.groupBy("source").applyInPandas(fn, schema)
+
+
+SQL_BOILERPLATE = r"""
+WITH ex AS (
+  SELECT DISTINCT source, doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+  FROM documents
+), nb AS (
+  SELECT * FROM ex WHERE word <> ''
+), totals AS (
+  SELECT source, COUNT(DISTINCT doc_id) AS total FROM documents GROUP BY source
+)
+SELECT nb.source, word,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       ROUND(COUNT(DISTINCT doc_id) * 1.0 / MAX(total), 4) AS frac
+FROM nb JOIN totals ON nb.source = totals.source
+GROUP BY nb.source, word
+HAVING COUNT(DISTINCT doc_id) * 1.0 / MAX(total) >= 0.8
+"""
