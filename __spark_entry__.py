@@ -85,6 +85,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": QT.q_embedding_near_dup,
         "median_stats": QT.q_median_stats,
         "explode_array_funcs": QT.q_explode_array_funcs,
+        "scalar_udf_vowels": QT.q_scalar_pandas_udf_vowels,
+        "arrow_byte_stats": QT.q_map_in_arrow_bytes,
         # model/sketch-backed (rows-only checks)
         "pipeline_documents": QM.q_pipeline_documents,
         "minhash_lsh_pairs": QM.q_minhash_lsh_pairs,
@@ -142,6 +144,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": QT.SQL_EMB_NEAR_DUP,
         "median_stats": QT.SQL_MEDIAN_STATS,
         "explode_array_funcs": QT.SQL_EXPLODE_ARRAY,
+        "scalar_udf_vowels": QT.SQL_SCALAR_VOWELS,
+        "arrow_byte_stats": QT.SQL_ARROW_BYTES,
         # pipeline_documents / minhash_lsh_pairs / simhash_buckets /
         # ann_lsh_cosine / multimodal_features: intentionally omitted —
         # model- or sketch-backed, not ANSI-SQL-expressible.

@@ -146,8 +146,22 @@ def run(
         v.unpersist()
     for b in sorted(processed):
         ckpt.commit_bucket(run_dir, run_id, b, seen.get(b, 0), out_path)
-    return {
+    result = {
         "run_id": run_id,
         "buckets": len(processed),
         "files_out": sum(seen.values()),
     }
+    _write_metrics(run_dir, run_id, result)
+    return result
+
+
+def _write_metrics(run_dir: Path, run_id: str, result: dict) -> None:
+    """run_metrics sink (SURVEY §2.1): one JSON line per run, appended —
+    the bench/monitoring surface."""
+    import json
+    import time
+
+    p = Path(run_dir) / "run_metrics.jsonl"
+    entry = {"run_id": run_id, "ts": time.time(), **result}
+    with open(p, "a") as f:
+        f.write(json.dumps(entry) + "\n")

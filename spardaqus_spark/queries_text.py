@@ -520,3 +520,69 @@ FROM nb JOIN totals ON nb.source = totals.source
 GROUP BY nb.source, word
 HAVING COUNT(DISTINCT doc_id) * 1.0 / MAX(total) >= 0.8
 """
+
+
+def q_scalar_pandas_udf_vowels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (Series->Series) pandas UDF — SURVEY §2.4 row 1: vowel
+    ratio per doc, Arrow-batched. SQL-oracle-matched, so the UDF's
+    batching is proven value-identical to the declarative form."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _vr(s):
+        import numpy as np
+
+        t = s.fillna("").str.lower()
+        r = t.str.count("[aeiou]") / t.str.len().clip(lower=1)
+        # floor-quantize, don't round: k/len hits exact 1e-4 midpoints
+        # (9/32 = 0.28125) where pandas half-even and DuckDB half-up
+        # disagree; floor of the identical IEEE quotient agrees always
+        return np.floor(r * 10000.0) / 10000.0
+
+    _vr.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    vowel_ratio = pandas_udf(_vr, "double")
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", vowel_ratio("text").alias("vowel_ratio"))
+
+
+SQL_SCALAR_VOWELS = """
+SELECT doc_id,
+       FLOOR(length(regexp_replace(lower(text), '[^aeiou]', '', 'g'))
+             * 1.0 / GREATEST(length(text), 1) * 10000.0) / 10000.0 AS vowel_ratio
+FROM documents
+"""
+
+
+def q_map_in_arrow_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow (SURVEY §2.4 optional fast path): per-batch byte stats
+    computed directly on Arrow RecordBatches — zero pandas materialization.
+    The shape a zero-copy regex scrub would use."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def fn(batches):
+        for rb in batches:
+            tbl = pa.table(
+                {
+                    "doc_id": rb.column(0),
+                    "n_bytes": pc.binary_length(
+                        pc.cast(rb.column(1), pa.binary())
+                    ),
+                    "n_chars": pc.utf8_length(rb.column(1)),
+                }
+            )
+            for out in tbl.to_batches():
+                yield out
+
+    return docs.mapInArrow(fn, "doc_id bigint, n_bytes int, n_chars int")
+
+
+SQL_ARROW_BYTES = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       CAST(length(text) AS INTEGER) AS n_chars
+FROM documents
+"""

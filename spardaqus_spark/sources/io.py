@@ -37,3 +37,33 @@ def write_files(df: "DataFrame", cfg: PipelineConfig, path: str, mode: str = "ap
         out.writeTo(path).append()
     else:
         out.write.mode(mode).partitionBy("bucket").parquet(path)
+
+
+def read_stream_source(spark: "SparkSession", cfg: "PipelineConfig", **opts):
+    """Streaming source seam (SURVEY §2.1/§2.8 — the Spardaqus transport
+    analog). kafka is config-gated: the sandbox ships no kafka jar, so the
+    branch is exercised only in production; the file branch feeds the same
+    foreachBatch pipeline in tests."""
+    fmt = opts.get("format", getattr(cfg, "stream_format", "parquet"))
+    if fmt == "kafka":
+        return (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", opts["bootstrap_servers"])
+            .option("subscribe", opts["topic"])
+            .load()
+        )
+    reader = spark.readStream.schema(opts["schema"])
+    if "max_files_per_trigger" in opts:
+        reader = reader.option("maxFilesPerTrigger", opts["max_files_per_trigger"])
+    return reader.parquet(opts["path"])
+
+
+def ingest_json_batch(spark: "SparkSession", records: list[dict], schema: str) -> "DataFrame":
+    """REST/batch-extract seam (SURVEY §2.1 — the Splunk-extract analog):
+    a JSON batch from any collector becomes a typed DataFrame ready for
+    the stage DAG. Driver-side only for the (small) batch envelope —
+    payload-scale ingest arrives via the table/stream sources above."""
+    import json as _json
+
+    rdd = spark.sparkContext.parallelize([_json.dumps(r) for r in records])
+    return spark.read.schema(schema).json(rdd)

@@ -109,3 +109,16 @@ def dedup_stream(events_stream: "DataFrame") -> "DataFrame":
     return _with_event_time(events_stream).withWatermark(
         "ts", "10 minutes"
     ).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def sliding_event_counts(events_stream: "DataFrame") -> "DataFrame":
+    """Sliding 10-min window, 5-min slide, past the watermark (§2.8)."""
+    from pyspark.sql import functions as F
+
+    return (
+        _with_event_time(events_stream)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n")
+    )

@@ -121,3 +121,46 @@ def test_stream_dedup(spark, tmp_path):
     stream = spark.readStream.schema(ev.schema).parquet(str(src))
     res = _run_stream_to_memory(spark, spipe.dedup_stream(stream), "dedup_ev")
     assert res.count() == 100
+
+
+def test_sliding_window_stream(spark, tmp_path):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = tmp_path / "ev4"
+    ev.write.parquet(str(src))
+    stream = spark.readStream.schema(ev.schema).parquet(str(src))
+    res = _run_stream_to_memory(
+        spark, spipe.sliding_event_counts(stream), "slide_counts", "append"
+    )
+    got = res.toPandas()
+    if len(got):  # append emits watermark-closed windows only
+        batch = (
+            ev.withColumn("ts", F.col("ts").cast("timestamp"))
+            .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("win.start").alias("win_start"), "event_type", "n")
+            .toPandas()
+        )
+        m = got.merge(batch, on=["win_start", "event_type"], suffixes=("_s", "_b"))
+        assert len(m) == len(got)
+        assert (m["n_s"] == m["n_b"]).all()
+
+
+def test_stream_source_seam_and_json_ingest(spark, tmp_path):
+    from spardaqus_spark.config import default_config
+    from spardaqus_spark.sources import io as sio
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = tmp_path / "ev5"
+    ev.write.parquet(str(src))
+    stream = sio.read_stream_source(
+        spark, default_config(), path=str(src), schema=ev.schema,
+        max_files_per_trigger=1,
+    )
+    assert stream.isStreaming
+    df = sio.ingest_json_batch(
+        spark,
+        [{"repo": "r/a", "path": "p1", "n": 1}, {"repo": "r/b", "path": "p2", "n": 2}],
+        "repo string, path string, n int",
+    )
+    assert df.count() == 2
+    assert df.schema.simpleString() == "struct<repo:string,path:string,n:int>"
