@@ -30,6 +30,11 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         default=None,
         help="comma-separated bucket whitelist (targeted rerun)",
     )
+    p.add_argument(
+        "--explain",
+        action="store_true",
+        help="print the formatted physical plan instead of executing",
+    )
     return p.parse_args(argv)
 
 
@@ -51,6 +56,16 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app="spardaqus-pipeline")
     spark.sparkContext.setLogLevel("WARN")
     src = io.read_files(spark, cfg)
+    if args.explain:
+        v = pipeline.build_verdict_frame(src, cfg)
+        clean = pipeline.build_clean_frame(v, cfg)
+        print(
+            clean._sc._jvm.PythonSQLUtils.explainString(
+                clean._jdf.queryExecution(), "formatted"
+            )
+        )
+        spark.stop()
+        return 0
     buckets = (
         [int(b) for b in args.buckets.split(",")] if args.buckets else None
     )
