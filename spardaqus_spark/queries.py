@@ -669,14 +669,19 @@ def q_collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = load(spark, sf_dir, "nation")
     reg = load(spark, sf_dir, "region")
     j = nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    # emit the array as a joined STRING: engines stringify native arrays
+    # differently (numpy repr vs python list), which breaks value-hash
+    # comparators; a canonical join sidesteps that entirely
     return j.groupBy("r_name").agg(
-        F.sort_array(F.collect_set("n_name")).alias("nations"),
+        F.array_join(F.sort_array(F.collect_set("n_name")), ",").alias("nations"),
         F.count("*").alias("n"),
     )
 
 
 SQL_COLLECT_SET = """
-SELECT r_name, list_sort(list_distinct(list(n_name))) AS nations, COUNT(*) AS n
+SELECT r_name,
+       array_to_string(list_sort(list_distinct(list(n_name))), ',') AS nations,
+       COUNT(*) AS n
 FROM nation JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
 """
