@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": QM.q_minhash_lsh_pairs,
         "simhash_buckets": QM.q_simhash_buckets,
         "ann_lsh_cosine": QM.q_ann_lsh_cosine,
+        "ann_ivf_cosine": QM.q_ann_ivf_cosine,
         "multimodal_features": QM.q_multimodal_features,
         "multimodal_resize": QM.q_multimodal_resize,
         "multimodal_frame_sample": QM.q_multimodal_frame_sample,
