@@ -1,0 +1,138 @@
+"""Vectorized batch kernels for the multimodal (opaque-binary) plumbing
+(SURVEY.md §2 multimodal rows; used by queries_ml.q_multimodal_*).
+
+All three kernels share one shape: ONE flat uint8 view of every payload
+in the Arrow batch (a single C-level ``b"".join`` + ``np.frombuffer``)
+plus an int64 offset vector, then cumulative-sum differences / per-row
+bincount histograms over the flat array. No per-row Python loops over
+payload bytes — the exact pattern tests/test_lint.py forbids in kernels.
+
+The DECODE step everywhere is the documented deterministic stand-in
+(byte statistics) because the container ships no image/audio codecs; a
+real decoder slots in at queries_ml.try_decode_image. Schema, batch
+shape and the flatten/segment machinery are the real, tested surface.
+"""
+
+import numpy as np
+
+
+def flatten(payloads):
+    """Sequence-of-bytes -> (flat uint8[N], offsets int64[n+1]).
+
+    ``b"".join`` is a single C call over the batch; per-row work is one
+    O(1) ``len()`` each — no Python touches individual bytes.
+    """
+    bufs = [bytes(b) for b in payloads]
+    n = len(bufs)
+    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    return flat, offsets
+
+
+def _csum(x):
+    """Exclusive-prefixed cumulative sum: segment sum = cs[e] - cs[s]."""
+    cs = np.zeros(len(x) + 1, dtype=np.float64)
+    np.cumsum(x, dtype=np.float64, out=cs[1:])
+    return cs
+
+
+def _seg_median(flat, lens):
+    """Per-segment median of uint8 values via row×256 histograms —
+    identical to np.median per row (mean of the two middle order
+    statistics for even counts). Fully vectorized: one bincount on the
+    combined (row, byte) key, then rank lookups on the row-cumulative
+    histogram."""
+    n = len(lens)
+    if len(flat) == 0:
+        return np.zeros(n, dtype=np.float64)
+    row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+    hist = np.bincount(
+        row_idx * 256 + flat.astype(np.int64), minlength=n * 256
+    ).reshape(n, 256)
+    cum = hist.cumsum(axis=1)
+    lo = (lens - 1) // 2  # 0-based ranks of the two middle elements
+    hi = lens // 2
+    # value at rank r = first byte v with cum[v] > r = #{v : cum[v] <= r}
+    lo_val = (cum <= lo[:, None]).sum(axis=1).astype(np.float64)
+    hi_val = (cum <= hi[:, None]).sum(axis=1).astype(np.float64)
+    return (lo_val + hi_val) / 2.0
+
+
+def byte_moment_features(payloads):
+    """Per-payload (mean, std, median, frac>127) — the deterministic
+    stand-in 'embedding'. Returns (n_bytes int64[n], feat float64[n,4]);
+    empty payloads get all-zero features (pinned)."""
+    flat, off = flatten(payloads)
+    lens = np.diff(off)
+    safe = np.maximum(lens, 1).astype(np.float64)
+    f64 = flat.astype(np.float64)
+    cs = _csum(f64)
+    mean = (cs[off[1:]] - cs[off[:-1]]) / safe
+    # two-pass variance (np.std's algorithm): mean((x - row_mean)^2)
+    centered = f64 - np.repeat(mean, lens)
+    cs2 = _csum(centered * centered)
+    std = np.sqrt((cs2[off[1:]] - cs2[off[:-1]]) / safe)
+    csg = _csum(flat > 127)
+    frac = (csg[off[1:]] - csg[off[:-1]]) / safe
+    med = _seg_median(flat, lens)
+    feat = np.stack([mean, std, med, frac], axis=1)
+    feat[lens == 0] = 0.0
+    return lens, feat
+
+
+def byte_grid(payloads, grid=16):
+    """Per-payload fixed-size grid of cell byte-means (area-resample
+    stand-in for image resize). Cell boundaries replicate
+    np.array_split: the first len%grid cells get the extra byte. Cells
+    beyond a short payload are 0.0 (pinned). Returns float64[n, grid]
+    rounded to 4 decimals."""
+    flat, off = flatten(payloads)
+    n = len(off) - 1
+    lens = np.diff(off)
+    k = np.tile(np.arange(grid, dtype=np.int64), n)
+    base = np.repeat(off[:-1], grid)
+    d = np.repeat(lens // grid, grid)
+    m = np.repeat(lens % grid, grid)
+    starts = base + k * d + np.minimum(k, m)
+    ends = base + (k + 1) * d + np.minimum(k + 1, m)
+    cs = _csum(flat.astype(np.float64))
+    csize = (ends - starts).astype(np.float64)
+    sums = cs[ends] - cs[starts]
+    means = np.divide(sums, csize, out=np.zeros_like(sums), where=csize > 0)
+    return np.round(means, 4).reshape(n, grid)
+
+
+def frame_stats(payloads, frame=1024, stride=8):
+    """Strided frame sampling over each payload ('video' of fixed-size
+    frames, every stride-th frame kept). 1:N fan-out: returns
+    (row_idx int64[T], frame_idx int64[T], mean float64[T], std
+    float64[T]) with T = total sampled frames. A payload shorter than
+    one frame yields exactly one (possibly short) frame; an empty
+    payload yields one frame with mean=std=0.0 (pinned)."""
+    flat, off = flatten(payloads)
+    n = len(off) - 1
+    lens = np.diff(off)
+    n_frames = np.maximum(lens // frame, 1)
+    n_samp = (n_frames + stride - 1) // stride
+    total = int(n_samp.sum())
+    row_idx = np.repeat(np.arange(n, dtype=np.int64), n_samp)
+    # within-row sample counter s = 0..n_samp[r]-1 -> frame_idx = s*stride
+    excl = np.zeros(n, dtype=np.int64)
+    np.cumsum(n_samp[:-1], out=excl[1:])
+    s = np.arange(total, dtype=np.int64) - np.repeat(excl, n_samp)
+    frame_idx = s * stride
+    starts = off[:-1][row_idx] + frame_idx * frame
+    ends = np.minimum(starts + frame, off[1:][row_idx])
+    flen = (ends - starts).astype(np.float64)
+    safe = np.maximum(flen, 1.0)
+    cs = _csum(flat.astype(np.float64))
+    mean = (cs[ends] - cs[starts]) / safe
+    cs2 = _csum(flat.astype(np.float64) ** 2)
+    var = (cs2[ends] - cs2[starts]) / safe - mean * mean
+    std = np.sqrt(np.maximum(var, 0.0))
+    empty = flen == 0
+    mean[empty] = 0.0
+    std[empty] = 0.0
+    return row_idx, frame_idx, np.round(mean, 4), np.round(std, 4)

@@ -579,7 +579,8 @@ WITH marked AS (
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
   FROM marked
 )
-SELECT user_id, MAX(sess_id) AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, CAST(MAX(sess_id) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
 FROM sess GROUP BY user_id
 """
 

@@ -267,31 +267,19 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "utf-8").alias("payload"),
     )
 
+    from .kernels import multimodal as mm
+
     def _decode_features(batches):
         for pdf in batches:
-            feats = []
-            nb = []
-            for buf in pdf["payload"]:
-                b = np.frombuffer(bytes(buf), dtype=np.uint8)
-                nb.append(len(b))
-                if len(b) == 0:
-                    feats.append([0.0, 0.0, 0.0, 0.0])
-                else:
-                    # deterministic fake "embedding": byte-histogram moments
-                    feats.append(
-                        [
-                            float(b.mean()),
-                            float(b.std()),
-                            float(np.median(b)),
-                            float((b > 127).mean()),
-                        ]
-                    )
+            if len(pdf) == 0:
+                continue
+            nb, feat = mm.byte_moment_features(pdf["payload"])
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "kind": pdf["kind"],
                     "n_bytes": nb,
-                    "feat": feats,
+                    "feat": list(feat),
                 }
             )
 
@@ -315,21 +303,17 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("asset_id"), F.encode("text", "utf-8").alias("payload")
     )
 
+    from .kernels import multimodal as mm
+
     def fn(batches):
         G = 16
         for pdf in batches:
-            grids = []
-            for buf in pdf["payload"]:
-                b = np.frombuffer(bytes(buf), dtype=np.uint8)
-                if len(b) == 0:
-                    grids.append([0.0] * G)
-                    continue
-                # split into G equal-ish cells, mean each (area-style resample)
-                cells = np.array_split(b.astype(np.float64), G)
-                grids.append([round(float(c.mean()) if len(c) else 0.0, 4) for c in cells])
+            if len(pdf) == 0:
+                continue
+            grids = mm.byte_grid(pdf["payload"], grid=G)
             yield pd.DataFrame(
-                {"asset_id": pdf["asset_id"], "grid": grids,
-                 "n_cells": [G] * len(pdf)}
+                {"asset_id": pdf["asset_id"], "grid": list(grids),
+                 "n_cells": np.full(len(pdf), G, dtype=np.int32)}
             )
 
     return assets.mapInPandas(fn, RESIZE_SCHEMA).orderBy("asset_id")
@@ -348,40 +332,45 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("asset_id"), F.encode("text", "utf-8").alias("payload")
     )
 
+    from .kernels import multimodal as mm
+
     def fn(batches):
         FRAME, STRIDE = 1024, 8
         for pdf in batches:
-            ids, idxs, feats = [], [], []
-            for aid, buf in zip(pdf["asset_id"], pdf["payload"]):
-                b = np.frombuffer(bytes(buf), dtype=np.uint8)
-                n_frames = max(len(b) // FRAME, 1)
-                for k in range(0, n_frames, STRIDE):
-                    fr = b[k * FRAME : (k + 1) * FRAME].astype(np.float64)
-                    ids.append(aid)
-                    idxs.append(k)
-                    feats.append(
-                        [round(float(fr.mean()) if len(fr) else 0.0, 4),
-                         round(float(fr.std()) if len(fr) else 0.0, 4)]
-                    )
+            if len(pdf) == 0:
+                continue
+            row_idx, frame_idx, mean, std = mm.frame_stats(
+                pdf["payload"], frame=FRAME, stride=STRIDE
+            )
             yield pd.DataFrame(
-                {"asset_id": ids, "frame_idx": idxs, "frame_feat": feats}
+                {
+                    "asset_id": pdf["asset_id"].to_numpy()[row_idx],
+                    "frame_idx": frame_idx.astype(np.int32),
+                    "frame_feat": list(np.stack([mean, std], axis=1)),
+                }
             )
 
     return assets.mapInPandas(fn, FRAMES_SCHEMA).orderBy("asset_id", "frame_idx")
 
 
+IVF_K = 64      # fixed centroid count — O(K) driver memory at ANY corpus size
+IVF_NPROBE = 2  # each vector lands in its 2 nearest cells; pairs dedup after
+
+
 def q_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat approximate NN (the other canonical ANN scale path next to
-    q_ann_lsh_cosine): deterministic coarse centroids (every 37th vec_id —
-    hash-free, reproducible), batch NumPy matmul assigns each vector to
-    its nearest centroid cell, exact cosine runs only WITHIN cells. At
-    corpus scale the cell join replaces the full cross join; recall is
-    tuned by centroid count / nprobe. Measured on this corpus at
-    nprobe=1: recall 0.24 vs the exact cos>=0.35 baseline — the synthetic
-    embeddings have NO cluster structure (near-uniform), which is IVF's
-    worst case; real embedding corpora cluster and recall rises steeply
-    with nprobe. The LSH variant (above) is the angle-preserving
-    alternative for unclustered data."""
+    q_ann_lsh_cosine): a FIXED-K deterministic coarse codebook (global
+    top-K by xxhash64(vec_id) — TakeOrderedAndProject, so only K rows ever
+    reach the driver regardless of corpus size), batch NumPy matmul
+    assigns each vector to its IVF_NPROBE nearest centroid cells, exact
+    cosine runs only WITHIN cells. At corpus scale the cell join replaces
+    the full cross join; driver memory is O(K), never O(n). nprobe=2
+    doubles the candidate surface (measured on sf0.01 vs the exact
+    cos>=0.35 baseline: recall 0.24 @ nprobe=1 -> 0.435 @ nprobe=2 ->
+    0.576 @ nprobe=3 — synthetic near-uniform embeddings are IVF's worst
+    case; clustered real corpora recall far higher per probe). The
+    LSH variant (above) is the angle-preserving alternative for
+    unclustered data."""
     import numpy as np
     import pandas as pd
 
@@ -389,19 +378,37 @@ def q_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     dvec = F.transform("embedding", lambda x: x.cast("double"))
     v = emb.select("vec_id", dvec.alias("v"))
 
-    cents = v.filter(F.col("vec_id") % 37 == 0).collect()
+    # deterministic fixed-K sample: hash-order the ids, take the first K.
+    # Spark plans this as TakeOrderedAndProject: each task keeps its local
+    # top-K, the driver merges K rows per partition — no O(n) collect.
+    cents = (
+        v.withColumn("h", F.xxhash64("vec_id"))
+        .orderBy("h")
+        .limit(IVF_K)
+        .select("v")
+        .collect()
+    )
     C = np.array([r["v"] for r in cents], dtype=np.float64)
     C_norm = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
     bc = spark.sparkContext.broadcast(C_norm)
 
     def assign(batches):
         Cn = bc.value
+        nprobe = min(IVF_NPROBE, Cn.shape[0])
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             M = np.array(pdf["v"].tolist(), dtype=np.float64)
             Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-            cell = np.argmax(Mn @ Cn.T, axis=1).astype(np.int32)
+            sims = Mn @ Cn.T
+            # top-nprobe cells per vector (argpartition = O(K), not O(K log K))
+            top = np.argpartition(-sims, nprobe - 1, axis=1)[:, :nprobe]
             yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "v": pdf["v"], "cell": cell}
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), nprobe),
+                    "v": np.repeat(pdf["v"].to_numpy(), nprobe),
+                    "cell": np.sort(top, axis=1).ravel().astype(np.int32),
+                }
             )
 
     assigned = v.mapInPandas(assign, "vec_id bigint, v array<double>, cell int")
@@ -418,8 +425,13 @@ def q_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.cell") == F.col("b.cell"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .withColumn("cos", F.round(dot / (nrm(F.col("a.v")) * nrm(F.col("b.v"))), 4))
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            F.round(dot / (nrm(F.col("a.v")) * nrm(F.col("b.v"))), 4).alias("cos"),
+        )
         .filter(F.col("cos") >= 0.3)
-        .select(F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2"), "cos")
+        # nprobe>1 means a pair can meet in up to nprobe shared cells
+        .dropDuplicates(["v1", "v2"])
         .orderBy("v1", "v2")
     )

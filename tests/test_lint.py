@@ -32,6 +32,28 @@ def test_no_per_row_python_udfs():
     assert vectorized_seen >= 8, "lint sanity: vectorized UDF usage should exist"
 
 
+ROW_LOOP = re.compile(
+    r"for\s+[\w, ]+\s+in\s+(?:zip\s*\(\s*)?pdf\s*\[|\.iterrows\(\)|\.itertuples\("
+)
+
+
+def test_no_per_row_batch_iteration():
+    """Round-2 rule (VERDICT r01 'What's wrong' #3): kernels must not
+    iterate Python-side over Arrow batch columns (`for x in pdf[...]`,
+    iterrows, itertuples). Flat-array NumPy over the whole batch only —
+    see kernels/multimodal.py for the sanctioned pattern."""
+    offenders = []
+    for p in sorted(PKG.rglob("*.py")):
+        for i, line in enumerate(p.read_text().splitlines(), 1):
+            code = line.split("#", 1)[0]
+            if ROW_LOOP.search(code):
+                offenders.append(f"{p.name}:{i}: {line.strip()}")
+    assert not offenders, (
+        "per-row iteration over batch columns is forbidden:\n"
+        + "\n".join(offenders)
+    )
+
+
 def test_no_rdd_api_in_hot_path():
     """RDD API bypasses Catalyst/Arrow (SURVEY §1.3). The single sanctioned
     use is the tiny driver-side JSON-batch envelope in sources/io.py."""

@@ -1,0 +1,99 @@
+"""Before/after equality gate for the vectorized multimodal kernels
+(VERDICT r01 fix #4): each flat-array kernel must reproduce, at the
+pinned 4-decimal rounding, the straightforward per-row NumPy reference
+it replaced. Property-tested over adversarial payload shapes (empty,
+sub-frame, frame-exact, long, high-byte)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from spardaqus_spark.kernels import multimodal as mm
+
+
+def _payloads():
+    rng = np.random.default_rng(42)
+    out = [
+        b"",                       # empty -> pinned zeros
+        b"a",                      # single byte
+        b"\x00" * 5,               # all-zero
+        b"\xff" * 300,             # all-high
+        bytes(rng.integers(0, 256, size=17, dtype=np.uint8)),   # < grid
+        bytes(rng.integers(0, 256, size=1024, dtype=np.uint8)),  # 1 frame
+        bytes(rng.integers(0, 256, size=1025, dtype=np.uint8)),  # 1 frame + 1
+        bytes(rng.integers(0, 256, size=40000, dtype=np.uint8)),  # 39 frames
+        bytes(rng.integers(0, 256, size=8 * 1024, dtype=np.uint8)),  # stride edge
+    ]
+    # plus a realistic batch of text-ish payloads
+    for n in (3, 50, 777, 5000):
+        out.append(bytes(rng.integers(32, 127, size=n, dtype=np.uint8)))
+    return out
+
+
+PAYLOADS = _payloads()
+
+
+def test_byte_moment_features_matches_per_row_reference():
+    lens, feat = mm.byte_moment_features(PAYLOADS)
+    for i, p in enumerate(PAYLOADS):
+        b = np.frombuffer(p, dtype=np.uint8)
+        assert lens[i] == len(b)
+        if len(b) == 0:
+            ref = [0.0, 0.0, 0.0, 0.0]
+        else:
+            ref = [
+                float(b.mean()),
+                float(b.std()),
+                float(np.median(b)),
+                float((b > 127).mean()),
+            ]
+        assert feat[i] == pytest.approx(ref, abs=5e-5), f"payload {i}"
+
+
+def test_byte_grid_matches_array_split_reference():
+    G = 16
+    grids = mm.byte_grid(PAYLOADS, grid=G)
+    for i, p in enumerate(PAYLOADS):
+        b = np.frombuffer(p, dtype=np.uint8)
+        if len(b) == 0:
+            ref = [0.0] * G
+        else:
+            cells = np.array_split(b.astype(np.float64), G)
+            ref = [round(float(c.mean()) if len(c) else 0.0, 4) for c in cells]
+        assert grids[i].tolist() == pytest.approx(ref, abs=5e-5), f"payload {i}"
+
+
+def test_frame_stats_matches_per_row_reference():
+    FRAME, STRIDE = 1024, 8
+    row_idx, frame_idx, mean, std = mm.frame_stats(
+        PAYLOADS, frame=FRAME, stride=STRIDE
+    )
+    got = {}
+    for r, k, m, s in zip(row_idx, frame_idx, mean, std):
+        got.setdefault(int(r), []).append((int(k), float(m), float(s)))
+    for i, p in enumerate(PAYLOADS):
+        b = np.frombuffer(p, dtype=np.uint8)
+        n_frames = max(len(b) // FRAME, 1)
+        ref = []
+        for k in range(0, n_frames, STRIDE):
+            fr = b[k * FRAME : (k + 1) * FRAME].astype(np.float64)
+            ref.append(
+                (
+                    k,
+                    round(float(fr.mean()) if len(fr) else 0.0, 4),
+                    round(float(fr.std()) if len(fr) else 0.0, 4),
+                )
+            )
+        assert len(got[i]) == len(ref), f"payload {i}: fan-out count"
+        for (gk, gm, gs), (rk, rm, rs) in zip(got[i], ref):
+            assert gk == rk
+            assert gm == pytest.approx(rm, abs=5e-5)
+            assert gs == pytest.approx(rs, abs=5e-5)
+
+
+def test_median_even_odd_exact():
+    # even count -> mean of the two middle order statistics, exactly
+    lens, feat = mm.byte_moment_features([bytes([1, 2, 3, 4]), bytes([9, 5, 7])])
+    assert feat[0][2] == 2.5
+    assert feat[1][2] == 7.0

@@ -40,8 +40,10 @@ def _canon_cell(v):
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "NULL"
     if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
+        # Driver-grade strictness: do NOT collapse 56.0 -> "56".  An
+        # integer-valued float must stay distinguishable from a true int so
+        # DuckDB HUGEINT->float64 drift (the round-1 `sessionize` red row)
+        # fails locally too.  Oracle SQL must CAST to BIGINT instead.
         return f"{v:.4f}"
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
