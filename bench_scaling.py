@@ -80,18 +80,20 @@ def main() -> None:
     lo = run_at(n_lo, corpus)
     hi = run_at(n_hi, corpus)
     eff = hi["files_per_sec"] / (4 * lo["files_per_sec"])
-    print(
-        json.dumps(
-            {
-                "metric": "scaling_efficiency_Nx4",
-                "value": round(eff, 3),
-                "unit": "ratio",
-                "n_lo": lo,
-                "n_hi": hi,
-                "pass": eff >= 0.8,
-            }
-        )
-    )
+    result = {
+        "metric": "scaling_efficiency_Nx4",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "n_lo": lo,
+        "n_hi": hi,
+        "pass": eff >= 0.8,
+        "measured_at": time.time(),
+    }
+    print(json.dumps(result))
+    # record for bench.py to report as a MEASURED value (never hardcoded)
+    cache = REPO / ".bench_cache"
+    cache.mkdir(exist_ok=True)
+    (cache / "scaling.json").write_text(json.dumps(result))
 
 
 if __name__ == "__main__":

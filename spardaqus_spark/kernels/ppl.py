@@ -107,11 +107,30 @@ def perplexity(
     # arrays; chunking keeps them cache-resident instead of streaming the
     # whole batch through DRAM 10x (the measured bottleneck at 32 workers).
     # Sized so 32 concurrent workers' working sets fit the SHARED L3:
-    # ~10 arrays x CHUNK x 4B x 32 workers. Value affects performance only,
-    # never results (elementwise math, fixed accumulation order).
+    # ~10 arrays x CHUNK x 4B x 32 workers.
+    #
+    # Chunk ends snap to ROW boundaries so a row's log-prob sum always
+    # accumulates inside a single bincount partial: `sums[r]` receives
+    # exactly one non-zero partial regardless of CHUNK, making the env
+    # knob performance-only BY CONSTRUCTION (§2.9 pinned semantics —
+    # different CHUNK values on Spark workers vs the oracle can never
+    # drift the float64 accumulation grouping).
     CHUNK = _chunk()
-    for lo in range(0, len(pos_all), CHUNK):
-        pos = pos_all[lo : lo + CHUNK]
+    row_of = row_id[pos_all]  # non-decreasing
+    Np = len(pos_all)
+    bounds = [0]
+    while bounds[-1] < Np:
+        target = bounds[-1] + CHUNK
+        if target >= Np:
+            bounds.append(Np)
+            break
+        r = row_of[target]
+        hi = int(np.searchsorted(row_of, r, side="left"))
+        if hi <= bounds[-1]:  # single row longer than CHUNK: take it whole
+            hi = int(np.searchsorted(row_of, r, side="right"))
+        bounds.append(hi)
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        pos = pos_all[lo:hi]
         tri_rows = row_id[pos]
         p1 = (T1[uni_full[pos + 2]] + one) * inv_n1
         p2 = np.minimum(

@@ -124,17 +124,25 @@ def run(
     from pyspark import StorageLevel
 
     v = v.persist(StorageLevel.MEMORY_AND_DISK)
+    out_path = str(run_dir / "files_clean")
+    lineage_path = str(run_dir / "lineage")
+    # crash-atomicity at the bucket grain: sweep visible bucket partitions
+    # that never got a manifest (orphans of a crashed attempt) BEFORE this
+    # attempt's append write, so reprocessing cannot duplicate rows.
+    ckpt.clean_orphans(run_dir, out_path, lineage_path)
     try:
         clean = build_clean_frame(v, cfg).persist(StorageLevel.MEMORY_AND_DISK)
-        out_path = str(run_dir / "files_clean")
         (
             clean.sortWithinPartitions("repo", "path", "commit")
             .write.mode("append")
             .partitionBy("bucket")
             .parquet(out_path)
         )
-        lineage_df = lin.collect_lineage(v, run_id)
-        lineage_df.write.mode("append").parquet(str(run_dir / "lineage"))
+        # per-stage lineage ([B:6] "every stage"): dedup/score/verdict/
+        # scrub/write rows, bucket-partitioned so the orphan sweep covers
+        # the lineage sink with the same manifest check as the data sink.
+        lineage_df = lin.collect_lineage_all_stages(v, run_id)
+        lineage_df.write.mode("append").partitionBy("bucket").parquet(lineage_path)
         per_bucket = clean.groupBy("bucket").agg(F.count("*").alias("n")).collect()
         seen = {int(r["bucket"]): int(r["n"]) for r in per_bucket}
         # buckets that were processed but produced zero kept rows still commit

@@ -1,9 +1,18 @@
 """Checkpoint manifest + resume (BASELINE.json:6,14).
 
 Grain = the repo-hash bucket (SURVEY.md §1.4). A run writes its output
-partitioned by bucket; after each bucket-batch lands, one manifest JSON
-file per bucket is committed via write-temp + atomic ``os.rename`` — the
-sandbox stand-in for an Iceberg snapshot commit (SURVEY.md §4.2).
+partitioned by bucket; after the write job commits, one manifest JSON
+file per processed bucket is committed via write-temp + atomic
+``os.rename`` — the sandbox stand-in for an Iceberg snapshot commit
+(SURVEY.md §4.2).
+
+Crash window: a driver crash after the data job commits but before the
+manifest loop finishes leaves VISIBLE bucket partitions with no
+manifest. Those are orphans of the crashed attempt; ``clean_orphans``
+deletes them at the start of a resumed run, BEFORE the append write, so
+reprocessing can never duplicate rows (single-writer-per-run_dir
+assumption, same as Iceberg's). Data + lineage are both bucket-
+partitioned so the same sweep covers both sinks.
 
 Resume: load the manifest -> tiny ``buckets_done`` DataFrame -> broadcast
 ``left_anti`` join drops already-processed buckets, so a restarted run
@@ -60,6 +69,31 @@ def done_buckets(run_dir: str | Path) -> list[int]:
         except (ValueError, KeyError, json.JSONDecodeError):
             continue  # torn write: treated as not-done, bucket reruns
     return out
+
+
+def clean_orphans(run_dir: str | Path, *data_paths: str | Path) -> list[int]:
+    """Delete ``bucket=<b>`` partition dirs under each data path whose
+    bucket has NO committed manifest — orphan output of an attempt that
+    crashed between the data-job commit and the manifest loop. Run at
+    the start of every resumed run so ``mode('append')`` cannot
+    duplicate rows. Returns the swept bucket ids."""
+    import shutil
+
+    done = set(done_buckets(run_dir))
+    removed: set[int] = set()
+    for dp in data_paths:
+        p = Path(dp)
+        if not p.exists():
+            continue
+        for d in p.glob("bucket=*"):
+            try:
+                b = int(d.name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if b not in done:
+                shutil.rmtree(d, ignore_errors=True)
+                removed.add(b)
+    return sorted(removed)
 
 
 def filter_resume(df: "DataFrame", run_dir: str | Path) -> "DataFrame":

@@ -76,6 +76,82 @@ def collect_lineage(
     return out
 
 
+PIPELINE_STAGES = ("dedup", "score", "verdict", "scrub", "write")
+
+
+def collect_lineage_all_stages(
+    df_verdict: "DataFrame", run_id: str, attempt: int = 1
+) -> "DataFrame":
+    """Per-partition lineage for EVERY pipeline stage ([B:6] 'every stage
+    writes per-partition lineage rows') from the fused verdict frame in a
+    single codegen aggregation pass — the fused mapInPandas means the
+    stage boundaries exist logically, not physically, so their in/out
+    counts are derivable exactly from (dup_loser, keep):
+
+      dedup:   in = all rows,   out = dedup survivors (!dup_loser)
+      score:   in = all rows,   out = all rows (scoring drops nothing)
+      verdict: in = all rows,   out = keep (rule_keep & survivor)
+      scrub:   in = kept rows,  out = kept rows (rewrite, no drops)
+      write:   in = kept rows,  out = kept rows
+
+    One groupBy(partition, bucket) -> 5 exploded stage rows per group;
+    rule_hit_counts attach to the verdict stage only."""
+    from pyspark.sql import functions as F
+
+    base = (
+        df_verdict.select(
+            F.spark_partition_id().alias("partition_id"),
+            "bucket",
+            "dup_loser",
+            "keep",
+        )
+        .groupBy("partition_id", "bucket")
+        .agg(
+            F.count("*").alias("n_all"),
+            F.sum((~F.col("dup_loser")).cast("long")).alias("n_surv"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        )
+    )
+    stage_rows = F.array(
+        F.struct(F.lit("dedup").alias("stage"), F.col("n_all").alias("fi"), F.col("n_surv").alias("fo")),
+        F.struct(F.lit("score").alias("stage"), F.col("n_all").alias("fi"), F.col("n_all").alias("fo")),
+        F.struct(F.lit("verdict").alias("stage"), F.col("n_all").alias("fi"), F.col("n_keep").alias("fo")),
+        F.struct(F.lit("scrub").alias("stage"), F.col("n_keep").alias("fi"), F.col("n_keep").alias("fo")),
+        F.struct(F.lit("write").alias("stage"), F.col("n_keep").alias("fi"), F.col("n_keep").alias("fo")),
+    )
+    per_stage = base.select(
+        "partition_id", "bucket", F.explode(stage_rows).alias("s")
+    ).select(
+        "partition_id",
+        "bucket",
+        F.col("s.stage").alias("stage"),
+        F.col("s.fi").alias("files_in"),
+        F.col("s.fo").alias("files_out"),
+    )
+    verdict_only = collect_lineage(df_verdict, run_id, attempt).select(
+        "partition_id", "bucket", "rule_hit_counts"
+    )
+    return (
+        per_stage.join(verdict_only, ["partition_id", "bucket"], "left")
+        .withColumn(
+            "rule_hit_counts",
+            F.when(F.col("stage") == "verdict", F.col("rule_hit_counts")),
+        )
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("attempt", F.lit(attempt))
+        .select(
+            "run_id",
+            "attempt",
+            "stage",
+            "partition_id",
+            "bucket",
+            "files_in",
+            "files_out",
+            "rule_hit_counts",
+        )
+    )
+
+
 def conservation_ok(lineage_df: "DataFrame", total_in: int, total_out: int) -> bool:
     """Σ files_in == total rows and Σ files_out == kept rows (SURVEY §5.4d)."""
     from pyspark.sql import functions as F

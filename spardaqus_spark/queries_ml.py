@@ -91,6 +91,10 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e"),
     ).select("doc_id", "sig", "e.band", "e.bh")
+    # both self-join sides consume `bands`; persist so the shingle ->
+    # 16-hash signature subtree (the expensive part) is computed once,
+    # not once per side (VERDICT r01 re-planned-subtree fix).
+    bands = bands.persist()
     a, b = bands.alias("a"), bands.alias("b")
     est = F.aggregate(
         F.zip_with("sig1", "sig2", lambda x, y: (x == y).cast("int")),

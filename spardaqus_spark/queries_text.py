@@ -245,7 +245,13 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= MAX_GRAM_DF)
         .select("gram")
     )
-    grams = grams_all.join(rare, "gram")
+    # the rare-gram table feeds THREE consumers (sizes + both self-join
+    # sides); without materialization Spark plans the full explode +
+    # df-aggregation subtree once per consumer (VERDICT r01: 3x plan =
+    # 49% of the whole bench). Persist caps it at one computation; the
+    # cache is gram-rows only (post df-filter) so it is strictly smaller
+    # than the input corpus and spills to disk if not.
+    grams = grams_all.join(rare, "gram").persist()
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = grams.alias("a")
     b = grams.alias("b")

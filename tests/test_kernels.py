@@ -149,3 +149,32 @@ class TestDeterminism:
         # prefix-stability: row i is identical at any corpus size
         c = fixtures.gen_files(50)
         pd.testing.assert_frame_equal(a.iloc[:50].reset_index(drop=True), c.iloc[:50])
+
+
+def test_ppl_chunk_size_is_performance_only():
+    """ADVICE r01: chunk ends snap to row boundaries, so the CHUNK env
+    knob can never change the float64 accumulation grouping — byte-equal
+    results at any value (§2.9 pinned)."""
+    import os
+
+    import pandas as pd
+
+    from spardaqus_spark.kernels import ppl as P
+
+    texts = pd.Series(
+        [
+            "hello world this is a test " * 50,
+            "short",
+            "",
+            "x" * 200000,  # single row longer than small chunks
+            "the quick brown fox jumps over the lazy dog " * 2000,
+        ]
+    )
+    base = P.perplexity(texts)
+    try:
+        for c in (256, 4096, 10**9):
+            os.environ["SPARDAQUS_PPL_CHUNK"] = str(c)
+            got = P.perplexity(texts)
+            assert (got.to_numpy() == base.to_numpy()).all(), f"CHUNK={c}"
+    finally:
+        os.environ.pop("SPARDAQUS_PPL_CHUNK", None)

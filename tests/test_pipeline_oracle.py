@@ -137,3 +137,37 @@ def test_lineage_conservation(spark, corpus_sdf):
     ldf = lin.collect_lineage(v, run_id="t")
     assert lin.conservation_ok(ldf, total, kept)
     v.unpersist()
+
+
+def test_per_stage_lineage_conservation(spark, corpus_sdf):
+    """[B:6] 'every stage writes per-partition lineage rows': the all-
+    stages collector emits dedup/score/verdict/scrub/write rows whose
+    per-stage sums obey the DAG's conservation laws."""
+    from spardaqus_spark.plans import lineage as lin
+
+    v = pipeline.build_verdict_frame(corpus_sdf, default_config()).cache()
+    total = v.count()
+    surv = v.filter(~F.col("dup_loser")).count()
+    kept = v.filter(F.col("keep")).count()
+    ldf = lin.collect_lineage_all_stages(v, run_id="t").cache()
+    sums = {
+        r["stage"]: (r["i"], r["o"])
+        for r in ldf.groupBy("stage")
+        .agg(F.sum("files_in").alias("i"), F.sum("files_out").alias("o"))
+        .collect()
+    }
+    assert set(sums) == set(lin.PIPELINE_STAGES)
+    assert sums["dedup"] == (total, surv)
+    assert sums["score"] == (total, total)
+    assert sums["verdict"] == (total, kept)
+    assert sums["scrub"] == (kept, kept)
+    assert sums["write"] == (kept, kept)
+    # rule_hit_counts attach to verdict rows only
+    assert (
+        ldf.filter(
+            (F.col("stage") != "verdict") & F.col("rule_hit_counts").isNotNull()
+        ).count()
+        == 0
+    )
+    ldf.unpersist()
+    v.unpersist()

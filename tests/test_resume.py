@@ -54,3 +54,35 @@ def test_resume_noop_when_all_done(spark, corpus_sdf, tmp_path):
     r = pipeline.run(corpus_sdf, CFG, run_dir=d, run_id="y")
     assert r["buckets"] == 0
     assert r["files_out"] == 0
+
+
+def test_crash_between_write_and_manifest_no_duplicates(spark, corpus_sdf, tmp_path):
+    """ADVICE r01 (medium): data lands (append) before manifests commit, so
+    a crash in that window leaves visible bucket partitions with no
+    manifest. Simulate it by deleting committed manifests post-run; the
+    resumed run must sweep the orphan partitions before its append write
+    so the final output has NO duplicate rows."""
+    d = tmp_path / "crash"
+    pipeline.run(corpus_sdf, CFG, run_dir=d, run_id="a1")
+    full = _read_clean(spark, d)
+
+    # "crash window": buckets 5..7 wrote data but never got a manifest
+    for b in (5, 6, 7):
+        (ckpt.manifest_dir(d) / f"bucket-{b:05d}.json").unlink()
+    assert sorted(ckpt.done_buckets(d)) == [0, 1, 2, 3, 4]
+
+    r = pipeline.run(corpus_sdf, CFG, run_dir=d, run_id="a2")
+    assert r["buckets"] == 3  # only the orphaned fraction reprocessed
+    after = _read_clean(spark, d)
+    # byte-identical to the uninterrupted result — no appended duplicates
+    pd.testing.assert_frame_equal(full, after)
+    # lineage sink swept + rewritten at the same grain: per-bucket rows
+    # exist exactly once per (stage, partition, bucket)
+    lin = spark.read.parquet(str(d / "lineage"))
+    dupes = (
+        lin.groupBy("stage", "partition_id", "bucket")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dupes == 0

@@ -164,3 +164,27 @@ def test_stream_source_seam_and_json_ingest(spark, tmp_path):
     )
     assert df.count() == 2
     assert df.schema.simpleString() == "struct<repo:string,path:string,n:int>"
+
+
+def test_micro_batch_retry_is_idempotent(spark, corpus_pdf, tmp_path):
+    """ADVICE r01: a Structured Streaming retry re-runs a micro-batch whose
+    write already landed. The batch_id-partitioned dynamic-overwrite sink
+    must absorb the replay with zero duplicate rows."""
+    out = tmp_path / "retry_out"
+    pdf = corpus_pdf[["repo", "path", "commit", "lang", "content"]].head(120)
+    bdf = spark.createDataFrame(pdf)
+    spipe.score_micro_batch(bdf, 7, CFG, str(out))
+    first = spark.read.parquet(str(out)).toPandas()
+    spipe.score_micro_batch(bdf, 7, CFG, str(out))  # the retry
+    second = spark.read.parquet(str(out)).toPandas()
+    assert len(second) == len(first)
+    key = ["repo", "path", "commit"]
+    a = first.sort_values(key).reset_index(drop=True)
+    b = second.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a[key + ["scrubbed_sha256"]], b[key + ["scrubbed_sha256"]]
+    )
+    # a DIFFERENT batch id appends alongside, untouched
+    spipe.score_micro_batch(bdf, 8, CFG, str(out))
+    n = spark.read.parquet(str(out)).count()
+    assert n == 2 * len(first)
