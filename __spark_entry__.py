@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collect_set_sorted": Q.q_collect_set_sorted,
         "cardinality_sketches": Q.q_cardinality_sketches,
         "global_sort_limit": Q.q_global_sort_limit,
+        "skew_salted_join": Q.q_skew_salted_join,
+        "salted_two_phase_agg": Q.q_salted_two_phase_agg,
         # text analysis / dedup / similarity (documents, embeddings)
         "doc_line_metrics": QT.q_doc_line_metrics,
         "token_count": QT.q_token_count,
@@ -129,6 +131,8 @@ def oracle_sql() -> dict[str, str]:
         "collect_set_sorted": Q.SQL_COLLECT_SET,
         # cardinality_sketches: rows-only (HLL estimates are impl-specific)
         "global_sort_limit": Q.SQL_SORT_LIMIT,
+        "skew_salted_join": Q.SQL_SKEW_SALTED_JOIN,
+        "salted_two_phase_agg": Q.SQL_SALTED_TWO_PHASE,
         "doc_line_metrics": QT.SQL_DOC_LINE_METRICS,
         "token_count": QT.SQL_TOKEN_COUNT,
         "bpe_token_count": QT.SQL_BPE_TOKENS,

@@ -7,11 +7,19 @@ YAML -> frozen dataclasses. The rule grammar:
         metric: max_line_len    # any column of files_scored
         op: ">"                 # > >= < <= == != in not_in between
         threshold: 1000
-        action: drop            # drop | flag
-    verdict: all_pass
+        action: drop            # drop | flag | weight:<float>
+    verdict: all_pass           # all_pass | weighted_sum>=<tau>
 
-A row is kept iff NO ``action: drop`` rule fires (§2.9.7); ``rule_hits``
-lists every fired rule (drop or flag) in config order.
+Verdict semantics (pinned, §2.9.7 + r02 amendment):
+
+- ``all_pass``: a row is kept iff NO ``action: drop`` rule fires;
+  ``weight:`` rules behave like ``flag`` (annotation only).
+- ``weighted_sum>=tau``: score = Σ weight over FIRED ``weight:`` rules;
+  keep iff (no drop rule fires) AND score >= tau — drop rules stay hard
+  vetoes, weighted rules are quality votes (write them as positive
+  indicators, e.g. ``alnum_ratio >= 0.25  weight:1.0``).
+
+``rule_hits`` lists every fired rule (any action) in config order.
 """
 
 from __future__ import annotations
@@ -36,8 +44,18 @@ class Rule:
     def __post_init__(self) -> None:
         if self.op not in OPS:
             raise ValueError(f"rule {self.name}: unknown op {self.op!r}")
-        if self.action not in ("drop", "flag"):
+        if self.action not in ("drop", "flag") and self.weight is None:
             raise ValueError(f"rule {self.name}: unknown action {self.action!r}")
+
+    @property
+    def weight(self) -> float | None:
+        """float for ``action: weight:<float>``, else None."""
+        if isinstance(self.action, str) and self.action.startswith("weight:"):
+            try:
+                return float(self.action.split(":", 1)[1])
+            except ValueError:
+                return None
+        return None
 
 
 @dataclass(frozen=True)
@@ -52,6 +70,25 @@ class PipelineConfig:
     input_path: str | None = None
     output_path: str | None = None
     table_format: str = "parquet"  # parquet | iceberg (prod)
+
+    def __post_init__(self) -> None:
+        if self.verdict != "all_pass" and self.verdict_tau is None:
+            raise ValueError(
+                f"unknown verdict {self.verdict!r} "
+                "(expected all_pass | weighted_sum>=<float>)"
+            )
+
+    @property
+    def verdict_tau(self) -> float | None:
+        """tau for ``verdict: weighted_sum>=<tau>``, else None."""
+        if isinstance(self.verdict, str) and self.verdict.startswith(
+            "weighted_sum>="
+        ):
+            try:
+                return float(self.verdict.split(">=", 1)[1])
+            except ValueError:
+                return None
+        return None
 
     @property
     def drop_rules(self) -> tuple[Rule, ...]:

@@ -1,0 +1,132 @@
+"""Explicit skew-salting operators (SURVEY.md §2.2 rows "skew-salted
+join" and "salted two-phase agg"; [B:6,14] "partitioning / shuffle / skew
+handled explicitly").
+
+Spark's AQE splits skewed SORT-MERGE join partitions at runtime, and
+hash aggregation already does map-side partial combine — but neither
+helps when (a) the skewed side feeds a pandas stage pinned to the join
+partitioning, (b) the join is broadcast-ineligible and a single hot key
+exceeds one task's memory, or (c) the per-group work is a grouped-map
+pandas UDF with no partial-agg form. These operators make the salt
+explicit so the plan is skew-free BY CONSTRUCTION at any scale:
+
+- ``salted_join``: big side gets ``salt = pmod(xxhash64(row), K)``; the
+  small side is replicated K ways via ``explode(sequence(0, K-1))``;
+  join key becomes ``(key, salt)``. A hot key's rows now spread over K
+  tasks instead of one. Result set is IDENTICAL to the plain join (each
+  big row carries exactly one salt and meets exactly one replica of
+  every matching small row) — proven against the plain-join oracle SQL
+  in the driver harness (query ``skew_salted_join``).
+
+- ``salted_agg``: decomposable aggregates in two phases — partial agg on
+  ``(key, salt)`` (first exchange hashes on BOTH, so a mega-key spreads
+  over K reducers), final re-agg on ``key`` over at most K tiny partial
+  rows. Oracle = the plain GROUP BY (query ``salted_two_phase_agg``).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame
+
+SALT = "__salt"
+
+
+def salted_join(
+    big: "DataFrame",
+    small: "DataFrame",
+    on: str | list[str],
+    k: int = 8,
+    how: str = "inner",
+) -> "DataFrame":
+    """Skew-neutralized ``big.join(small, on, how)``.
+
+    Supports ``inner`` and ``left`` (the big-side-preserving joins —
+    replicating the small side K times would duplicate ITS unmatched
+    rows, so right/full are rejected). The salt is a deterministic hash
+    of a per-row id: correctness never depends on WHICH salt a row gets,
+    only that each big row has exactly one.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports inner/left (big-side preserving); got {how!r}"
+        )
+    keys = [on] if isinstance(on, str) else list(on)
+    big_s = big.withColumn(
+        SALT, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(k))
+    )
+    # sequence over bigint bounds so the exploded salt matches pmod's type
+    # (a generator cannot be nested inside an outer cast)
+    small_s = small.withColumn(
+        SALT,
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.lit(k - 1).cast("bigint"))
+        ),
+    )
+    return big_s.join(small_s, keys + [SALT], how).drop(SALT)
+
+
+# aggregate spec: out_name -> (fn, input_col); fn must be decomposable
+_PARTIAL = {
+    "count": lambda c: F.count(c),
+    "sum": lambda c: F.sum(c),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+}
+_FINAL = {
+    "count": F.sum,  # counts add up
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def salted_agg(
+    df: "DataFrame",
+    keys: list[str],
+    exprs: dict[str, tuple[str, str]],
+    k: int = 8,
+) -> "DataFrame":
+    """Two-phase aggregation with an explicit salt in the first exchange.
+
+    ``exprs`` maps output column -> (fn, input_col) with fn in
+    {count, sum, min, max, avg}. ``avg`` is decomposed into sum+count
+    partials and divided in the final phase (never avg-of-avgs).
+
+    Phase 1 groups by ``keys + [salt]`` — the exchange partitions on the
+    salted key, so a key with 10^9 rows lands on K reducers, not one.
+    Phase 2 re-aggregates the <= K partial rows per key: negligible data,
+    no skew possible.
+    """
+    plan: dict[str, tuple[str, str]] = {}
+    for out, (fn, col) in exprs.items():
+        if fn == "avg":
+            plan[f"{out}{SALT}_s"] = ("sum", col)
+            plan[f"{out}{SALT}_c"] = ("count", col)
+        elif fn in _PARTIAL:
+            plan[out] = (fn, col)
+        else:
+            raise ValueError(f"{out}: non-decomposable fn {fn!r}")
+
+    salted = df.withColumn(
+        SALT, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(k))
+    )
+    partial = salted.groupBy(*keys, SALT).agg(
+        *[_PARTIAL[fn](col).alias(out) for out, (fn, col) in plan.items()]
+    )
+    finals = []
+    for out, (fn, _col) in exprs.items():
+        if fn == "avg":
+            finals.append(
+                (
+                    F.sum(f"{out}{SALT}_s").cast("double")
+                    / F.sum(f"{out}{SALT}_c")
+                ).alias(out)
+            )
+        else:
+            finals.append(_FINAL[fn](out).alias(out))
+    return partial.groupBy(*keys).agg(*finals)

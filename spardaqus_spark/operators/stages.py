@@ -93,6 +93,7 @@ def score_scrub(
     cfg = cfg or default_config()
     lex = scrub.load_lexicon(cfg.lexicon_path)
     rules = cfg.rules
+    verdict_mode = cfg.verdict
     out_schema = (
         f"{_schema_str(df)}, {SCORE_FIELDS}, rule_keep boolean, "
         "rule_hits array<string>, keep boolean, scrubbed_sha256 string"
@@ -112,7 +113,7 @@ def score_scrub(
             m["lang_pred"] = lid["lang_pred"].to_numpy()
             m["lang_conf"] = lid["lang_conf"].to_numpy()
             m["ppl"] = ppl.perplexity(c, flat=flat).to_numpy()
-            rule_keep, hits = apply_rules_pandas(rules, m)
+            rule_keep, hits = apply_rules_pandas(rules, m, verdict_mode)
             keep = rule_keep.to_numpy() & ~pdf["dup_loser"].to_numpy()
 
             out = pdf.copy()
@@ -142,7 +143,7 @@ def verdict(df: "DataFrame", cfg: PipelineConfig | None = None) -> "DataFrame":
     """+ rule_keep:boolean, rule_hits:array<string>. Pure codegen — the
     compiled rule tree runs JVM-side (SURVEY.md §2.6)."""
     cfg = cfg or default_config()
-    keep_col, hits_col = compile_spark(cfg.rules)
+    keep_col, hits_col = compile_spark(cfg.rules, cfg.verdict)
     return df.withColumn("rule_keep", keep_col).withColumn("rule_hits", hits_col)
 
 

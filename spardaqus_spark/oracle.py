@@ -81,7 +81,7 @@ def run(df: pd.DataFrame, cfg: PipelineConfig | None = None) -> pd.DataFrame:
     """
     cfg = cfg or default_config()
     scored = score(df)
-    rule_keep, hits = apply_rules_pandas(cfg.rules, scored)
+    rule_keep, hits = apply_rules_pandas(cfg.rules, scored, cfg.verdict)
     dup_loser = dedup_flag(scored)
     scored["dup_loser"] = dup_loser.to_numpy()
     scored["keep"] = rule_keep.to_numpy() & ~dup_loser.to_numpy()

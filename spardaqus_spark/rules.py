@@ -46,16 +46,37 @@ def rule_mask_pandas(rule: Rule, df: pd.DataFrame) -> pd.Series:
     raise ValueError(rule.op)
 
 
+def _parse_verdict(verdict: str) -> float | None:
+    """-> tau for 'weighted_sum>=tau', None for 'all_pass' (pinned §2.9.7)."""
+    if verdict == "all_pass":
+        return None
+    if verdict.startswith("weighted_sum>="):
+        return float(verdict.split(">=", 1)[1])
+    raise ValueError(f"unknown verdict {verdict!r}")
+
+
 def apply_rules_pandas(
-    rules: Sequence[Rule], df: pd.DataFrame
+    rules: Sequence[Rule], df: pd.DataFrame, verdict: str = "all_pass"
 ) -> tuple[pd.Series, pd.Series]:
-    """Returns (keep: bool Series, rule_hits: Series of list[str])."""
+    """Returns (keep: bool Series, rule_hits: Series of list[str]).
+
+    ``verdict='weighted_sum>=tau'``: keep = (no drop rule fires) AND
+    Σ weight over fired ``weight:`` rules >= tau. Drop rules stay hard
+    vetoes; under ``all_pass`` weight rules are annotation-only."""
     n = len(df)
+    tau = _parse_verdict(verdict)
     hit_masks = [(r, rule_mask_pandas(r, df).fillna(False).to_numpy()) for r in rules]
     keep = np.ones(n, dtype=bool)
     for r, m in hit_masks:
         if r.action == "drop":
             keep &= ~m
+    if tau is not None:
+        score = np.zeros(n, dtype=np.float64)
+        for r, m in hit_masks:
+            w = r.weight
+            if w is not None:
+                score += np.where(m, w, 0.0)
+        keep &= score >= tau
     names = [r.name for r, _ in hit_masks]
     stacked = (
         np.stack([m for _, m in hit_masks], axis=1)
@@ -96,14 +117,19 @@ def rule_condition_spark(rule: Rule):
     raise ValueError(rule.op)
 
 
-def compile_spark(rules: Sequence[Rule]):
+def compile_spark(rules: Sequence[Rule], verdict: str = "all_pass"):
     """-> (keep: Column, rule_hits: Column(array<string>)).
 
     keep = NOT any(drop-rule fires); NULL metric never fires a rule
-    (coalesce to false), matching the pandas fillna(False) above.
+    (coalesce to false), matching the pandas fillna(False) above. A
+    ``weighted_sum>=tau`` verdict additionally requires the codegen'd
+    Σ weight-of-fired-weight-rules to reach tau — same float64 addition
+    order as the pandas form (config order), so both engines agree at
+    the ulp.
     """
     from pyspark.sql import functions as F
 
+    tau = _parse_verdict(verdict)
     conds = [
         (r, F.coalesce(rule_condition_spark(r), F.lit(False))) for r in rules
     ]
@@ -111,6 +137,12 @@ def compile_spark(rules: Sequence[Rule]):
     for r, c in conds:
         if r.action == "drop":
             keep = keep & ~c
+    if tau is not None:
+        score = F.lit(0.0)
+        for r, c in conds:
+            if r.weight is not None:
+                score = score + F.when(c, F.lit(float(r.weight))).otherwise(F.lit(0.0))
+        keep = keep & (score >= F.lit(tau))
     if conds:
         hits = F.array_compact(
             F.array(*[F.when(c, F.lit(r.name)) for r, c in conds])

@@ -171,3 +171,46 @@ def test_per_stage_lineage_conservation(spark, corpus_sdf):
     )
     ldf.unpersist()
     v.unpersist()
+
+
+def test_weighted_verdict_f1_is_one(spark, corpus_sdf, corpus_pdf):
+    """§2.6 full grammar: `action: weight:<float>` + `verdict:
+    weighted_sum>=tau` end-to-end. The Spark codegen verdict and the
+    pandas oracle must agree exactly (same rules, same float64 addition
+    order), and the config must be NON-VACUOUS on this corpus (both
+    kept and dropped rows exist)."""
+    from spardaqus_spark.config import load_config
+
+    cfg = load_config("conf/pipeline_weighted.yaml")
+    assert cfg.verdict_tau == 3.0
+    assert [r.weight for r in cfg.rules] == [None, 1.0, 1.0, 1.5, 0.5]
+
+    v = pipeline.build_verdict_frame(corpus_sdf, cfg)
+    got = v.select("repo", "path", "commit", "keep").toPandas()
+    o = oracle.run(
+        corpus_pdf[["repo", "path", "commit", "lang", "content"]], cfg
+    )
+    j = _join(o[["repo", "path", "commit", "keep"]], got)
+    tp = ((j["keep_o"]) & (j["keep_s"])).sum()
+    fp = ((~j["keep_o"]) & (j["keep_s"])).sum()
+    fn = ((j["keep_o"]) & (~j["keep_s"])).sum()
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    assert f1 == 1.0, f"F1={f1} (tp={tp} fp={fp} fn={fn})"
+    kept = int(j["keep_o"].sum())
+    assert 0 < kept < len(j), f"vacuous weighted config: kept={kept}/{len(j)}"
+    # the CODEGEN path (stages.verdict, prebucketed DAG) agrees too
+    v2 = pipeline.build_verdict_frame(corpus_sdf, cfg, prebucketed=True)
+    got2 = v2.select("repo", "path", "commit", "keep").toPandas()
+    j2 = _join(o[["repo", "path", "commit", "keep"]], got2)
+    assert (j2["keep_o"] == j2["keep_s"]).all()
+
+
+def test_weighted_grammar_validation():
+    from spardaqus_spark.config import PipelineConfig, Rule
+
+    with pytest.raises(ValueError):
+        Rule("bad", "ppl", ">", 1.0, action="weight:abc")
+    with pytest.raises(ValueError):
+        PipelineConfig(rules=(), verdict="weighted_sum>oops")
+    r = Rule("ok", "ppl", "<=", 400.0, action="weight:2.5")
+    assert r.weight == 2.5
