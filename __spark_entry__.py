@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cardinality_sketches": Q.q_cardinality_sketches,
         "global_sort_limit": Q.q_global_sort_limit,
         "skew_salted_join": Q.q_skew_salted_join,
+        "mode_any_value": Q.q_mode_any_value,
         "salted_two_phase_agg": Q.q_salted_two_phase_agg,
         # text analysis / dedup / similarity (documents, embeddings)
         "doc_line_metrics": QT.q_doc_line_metrics,
@@ -81,6 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": QT.q_dedup_exact_docs,
         "ngram_jaccard_pairs": QT.q_ngram_jaccard_pairs,
         "boilerplate_tokens": QT.q_boilerplate_tokens,
+        "boilerplate_scalable": QT.q_boilerplate_scalable,
         "trimmed_mean_grouped_agg": Q.q_trimmed_mean_grouped_agg,
         "embedding_norms": QT.q_embedding_norms,
         "cosine_topk": QT.q_cosine_topk,
@@ -88,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median_stats": QT.q_median_stats,
         "explode_array_funcs": QT.q_explode_array_funcs,
         "scalar_udf_vowels": QT.q_scalar_pandas_udf_vowels,
+        "scalar_iter_udf_density": QT.q_scalar_iter_udf_density,
         "arrow_byte_stats": QT.q_map_in_arrow_bytes,
         # model/sketch-backed (rows-only checks)
         "pipeline_documents": QM.q_pipeline_documents,
@@ -132,6 +135,7 @@ def oracle_sql() -> dict[str, str]:
         # cardinality_sketches: rows-only (HLL estimates are impl-specific)
         "global_sort_limit": Q.SQL_SORT_LIMIT,
         "skew_salted_join": Q.SQL_SKEW_SALTED_JOIN,
+        "mode_any_value": Q.SQL_MODE_ANY_VALUE,
         "salted_two_phase_agg": Q.SQL_SALTED_TWO_PHASE,
         "doc_line_metrics": QT.SQL_DOC_LINE_METRICS,
         "token_count": QT.SQL_TOKEN_COUNT,
@@ -143,6 +147,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": QT.SQL_DEDUP_EXACT,
         "ngram_jaccard_pairs": QT.SQL_NGRAM_JACCARD,
         "boilerplate_tokens": QT.SQL_BOILERPLATE,
+        "boilerplate_scalable": QT.SQL_BOILERPLATE,
         "trimmed_mean_grouped_agg": Q.SQL_TRIMMED_MEAN,
         "embedding_norms": QT.SQL_EMB_NORMS,
         "cosine_topk": QT.SQL_COSINE_TOPK,
@@ -150,6 +155,7 @@ def oracle_sql() -> dict[str, str]:
         "median_stats": QT.SQL_MEDIAN_STATS,
         "explode_array_funcs": QT.SQL_EXPLODE_ARRAY,
         "scalar_udf_vowels": QT.SQL_SCALAR_VOWELS,
+        "scalar_iter_udf_density": QT.SQL_SCALAR_ITER_DENSITY,
         "arrow_byte_stats": QT.SQL_ARROW_BYTES,
         # pipeline_documents / minhash_lsh_pairs / simhash_buckets /
         # ann_lsh_cosine / multimodal_features: intentionally omitted —

@@ -38,17 +38,16 @@ n = src.count()
 # warm-up: JVM + python-worker spinup + model training, excluded from the
 # timed window (a 100 TB run amortizes startup to zero)
 pipeline.run(src.limit(2000), cfg)
-best = None
-for _ in range(2):  # best-of-2: page cache + JIT stabilize between reps
-    t0 = time.perf_counter()
-    res = pipeline.run(src, cfg)
-    dt = time.perf_counter() - t0
-    best = dt if best is None or dt < best else best
-print(json.dumps({{"cores": {cores}, "sec": round(best, 2),
-                   "files_per_sec": round(n / best, 1),
+t0 = time.perf_counter()
+res = pipeline.run(src, cfg)
+dt = time.perf_counter() - t0
+print(json.dumps({{"cores": {cores}, "sec": round(dt, 2),
+                   "files_per_sec": round(n / dt, 1),
                    "files_in": n, "files_out": res["files_out"]}}))
 spark.stop()
 """
+
+REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
 
 
 def run_at(cores: int, corpus: str) -> dict:
@@ -77,8 +76,18 @@ def main() -> None:
     # measures the hypervisor's oversubscription, not the pipeline.
     n_lo = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
     n_hi = 4 * n_lo
-    lo = run_at(n_lo, corpus)
-    hi = run_at(n_hi, corpus)
+    # INTERLEAVED reps, best-per-side: the hypervisor's available compute
+    # drifts minute-to-minute (measured ±40%, occasionally worse), and a
+    # sequential lo,lo,hi,hi order lets a mid-run capacity swing land
+    # entirely on one side of the ratio. Alternate lo,hi per rep so both
+    # sides sample the same conditions; best-of-REPS damps the noise
+    # floor on each side independently.
+    lo_runs, hi_runs = [], []
+    for _ in range(REPS):
+        lo_runs.append(run_at(n_lo, corpus))
+        hi_runs.append(run_at(n_hi, corpus))
+    lo = max(lo_runs, key=lambda r: r["files_per_sec"])
+    hi = max(hi_runs, key=lambda r: r["files_per_sec"])
     eff = hi["files_per_sec"] / (4 * lo["files_per_sec"])
     result = {
         "metric": "scaling_efficiency_Nx4",
@@ -87,6 +96,9 @@ def main() -> None:
         "n_lo": lo,
         "n_hi": hi,
         "pass": eff >= 0.8,
+        "reps": REPS,
+        "all_lo": [r["files_per_sec"] for r in lo_runs],
+        "all_hi": [r["files_per_sec"] for r in hi_runs],
         "measured_at": time.time(),
     }
     print(json.dumps(result))

@@ -141,7 +141,10 @@ def run(
         # per-stage lineage ([B:6] "every stage"): dedup/score/verdict/
         # scrub/write rows, bucket-partitioned so the orphan sweep covers
         # the lineage sink with the same manifest check as the data sink.
-        lineage_df = lin.collect_lineage_all_stages(v, run_id)
+        # lineage is tiny (<= partitions x buckets x 5 rows) — coalesce(1)
+        # so the bucket-partitioned write emits one file per bucket dir,
+        # not one per (task, bucket).
+        lineage_df = lin.collect_lineage_all_stages(v, run_id).coalesce(1)
         lineage_df.write.mode("append").partitionBy("bucket").parquet(lineage_path)
         per_bucket = clean.groupBy("bucket").agg(F.count("*").alias("n")).collect()
         seen = {int(r["bucket"]): int(r["n"]) for r in per_bucket}

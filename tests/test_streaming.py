@@ -188,3 +188,55 @@ def test_micro_batch_retry_is_idempotent(spark, corpus_pdf, tmp_path):
     spipe.score_micro_batch(bdf, 8, CFG, str(out))
     n = spark.read.parquet(str(out)).count()
     assert n == 2 * len(first)
+
+
+def test_streaming_update_and_complete_modes(spark, tmp_path):
+    """§2.8 output modes: update + complete over a stateful agg (append is
+    exercised by every other streaming test). Memory sink, availableNow."""
+    src = tmp_path / "ev_src"
+    src.mkdir()
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("event_id", "ts", "event_type", "value")
+    )
+    pdf = ev.toPandas()
+    pdf.iloc[: len(pdf) // 2].to_parquet(src / "a.parquet", index=False)
+    pdf.iloc[len(pdf) // 2 :].to_parquet(src / "b.parquet", index=False)
+    schema = "event_id bigint, ts timestamp_ntz, event_type string, value double"
+    expected = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+
+    def agg(stream):
+        return stream.groupBy("event_type").agg(F.count("*").alias("n"))
+
+    # complete: every trigger emits the FULL result table
+    s1 = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q1 = (
+        agg(s1).writeStream.format("memory").queryName("m_complete")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q1.awaitTermination(120)
+    got = {
+        r["event_type"]: r["n"] for r in spark.sql("SELECT * FROM m_complete").collect()
+    }
+    assert got == expected
+
+    # update: only changed keys re-emit; the max per key is the final count
+    s2 = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q2 = (
+        agg(s2).writeStream.format("memory").queryName("m_update")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+    upd = spark.sql(
+        "SELECT event_type, MAX(n) AS n FROM m_update GROUP BY event_type"
+    ).collect()
+    assert {r["event_type"]: r["n"] for r in upd} == expected
