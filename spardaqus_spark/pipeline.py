@@ -94,12 +94,16 @@ def run(
     run_dir: str | Path | None = None,
     run_id: str | None = None,
     bucket_whitelist: list[int] | None = None,
+    prebucketed: bool = False,
+    hot_repos: list[str] | None = None,
 ) -> dict:
     """Execute end-to-end with checkpoint/resume + lineage.
 
     ``bucket_whitelist`` limits processing to specific buckets (used by the
     kill-at-50% resume test; prod uses it for targeted reruns).
-    Returns summary counters.
+    ``prebucketed=True`` runs the Iceberg bucket(repo) production DAG
+    (score in place with hot-repo salting, dedup after) — same outputs,
+    same checkpoint/lineage plumbing. Returns summary counters.
     """
     from pyspark.sql import functions as F
 
@@ -107,7 +111,7 @@ def run(
     run_id = run_id or uuid.uuid4().hex[:12]
     run_dir = Path(run_dir) if run_dir else None
 
-    v = build_verdict_frame(df, cfg)
+    v = build_verdict_frame(df, cfg, hot_repos=hot_repos, prebucketed=prebucketed)
     if run_dir is not None:
         v = ckpt.filter_resume(v, run_dir)
     if bucket_whitelist is not None:

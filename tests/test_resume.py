@@ -86,3 +86,21 @@ def test_crash_between_write_and_manifest_no_duplicates(spark, corpus_sdf, tmp_p
         .count()
     )
     assert dupes == 0
+
+
+def test_prebucketed_run_end_to_end_matches_default(spark, corpus_sdf, tmp_path):
+    """run(prebucketed=True) — the Iceberg bucket(repo) production DAG —
+    must land the same kept rows + sha256 as the default dedup-first DAG
+    through the full checkpoint/lineage machinery."""
+    d1, d2 = tmp_path / "dflt", tmp_path / "pre"
+    r1 = pipeline.run(corpus_sdf, CFG, run_dir=d1, run_id="a")
+    r2 = pipeline.run(corpus_sdf, CFG, run_dir=d2, run_id="b", prebucketed=True)
+    assert r1["files_out"] == r2["files_out"]
+    a = _read_clean(spark, d1)
+    b = _read_clean(spark, d2)
+    pd.testing.assert_frame_equal(
+        a[["repo", "path", "commit", "scrubbed_sha256"]],
+        b[["repo", "path", "commit", "scrubbed_sha256"]],
+    )
+    lin = spark.read.parquet(str(d2 / "lineage"))
+    assert lin.select("stage").distinct().count() == 5
