@@ -45,15 +45,29 @@ HEADLINE = [
 ]
 
 
+N_CORPUS_FILES = 32  # a real table is many files; a single pandas parquet
+# is ONE row group = ONE scan task, which serializes the whole pre-shuffle
+# map side (scan + sha2) and caps measured scaling (Amdahl). 32 parts give
+# the scan the same parallelism surface a production table has.
+
+
 def corpus_path() -> str:
-    """Generate-once synthetic bench corpus (deterministic, seed 42)."""
-    p = CACHE / f"files_n{BENCH_N}.parquet"
-    if not p.exists():
+    """Generate-once synthetic bench corpus (deterministic, seed 42),
+    written as a directory of N_CORPUS_FILES parquet parts."""
+    p = CACHE / f"files_n{BENCH_N}_p{N_CORPUS_FILES}"
+    if not (p / "_DONE").exists():
         from spardaqus_spark import fixtures
 
-        CACHE.mkdir(exist_ok=True)
-        df = fixtures.gen_files(BENCH_N)
-        df[["repo", "path", "commit", "lang", "content"]].to_parquet(p, index=False)
+        p.mkdir(parents=True, exist_ok=True)
+        df = fixtures.gen_files(BENCH_N)[
+            ["repo", "path", "commit", "lang", "content"]
+        ]
+        step = (len(df) + N_CORPUS_FILES - 1) // N_CORPUS_FILES
+        for i in range(N_CORPUS_FILES):
+            part = df.iloc[i * step : (i + 1) * step]
+            if len(part):
+                part.to_parquet(p / f"part-{i:04d}.parquet", index=False)
+        (p / "_DONE").touch()
     return str(p)
 
 

@@ -35,6 +35,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         action="store_true",
         help="print the formatted physical plan instead of executing",
     )
+    p.add_argument(
+        "--prebucketed",
+        action="store_true",
+        help="input is already bucket(repo)-partitioned (Iceberg prod "
+        "layout): score in place with hot-repo salting, dedup after",
+    )
     return p.parse_args(argv)
 
 
@@ -57,7 +63,7 @@ def main(argv: list[str] | None = None) -> int:
     spark.sparkContext.setLogLevel("WARN")
     src = io.read_files(spark, cfg)
     if args.explain:
-        v = pipeline.build_verdict_frame(src, cfg)
+        v = pipeline.build_verdict_frame(src, cfg, prebucketed=args.prebucketed)
         clean = pipeline.build_clean_frame(v, cfg)
         print(
             clean._sc._jvm.PythonSQLUtils.explainString(
@@ -75,6 +81,7 @@ def main(argv: list[str] | None = None) -> int:
         run_dir=args.run_dir,
         run_id=args.resume,
         bucket_whitelist=buckets,
+        prebucketed=args.prebucketed,
     )
     print(res)
     spark.stop()
