@@ -159,6 +159,11 @@ def main() -> None:
             rec = json.loads(scaling_file.read_text())
             out["scaling_efficiency_N_to_4N"] = rec["value"]
             out["scaling_measured_at"] = rec.get("measured_at")
+            # full disclosure: best-of-session plus the measured spread
+            # (the hypervisor's parallel capacity swings ±40% run-to-run)
+            if "spread" in rec:
+                out["scaling_spread"] = rec["spread"]
+                out["scaling_n_runs"] = rec["n_runs"]
         except (ValueError, KeyError):
             pass
     print(json.dumps(out))

@@ -1,0 +1,59 @@
+"""Estimator-quality gates for the sketch-based dedup paths (rows-only in
+the driver harness, so their STATISTICS are pinned here instead): the
+MinHash-LSH candidate generator must actually track exact shingle Jaccard.
+This is the regression net for the r1->r2 fix where correlated per-seed
+string hashes inflated est_jaccard ~50x (queries_ml.minhash_signatures)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spardaqus_spark import queries_ml as QM
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _exact_pairs(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    sh = QM._shingles(docs)
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("i"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    ex = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("s1")),
+            "d1",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("s2")),
+            "d2",
+        )
+        .withColumn("j", F.col("i") / (F.col("s1") + F.col("s2") - F.col("i")))
+        .filter(F.col("j") >= 0.5)
+    )
+    return {(r.d1, r.d2) for r in ex.select("d1", "d2").collect()}
+
+
+def test_minhash_lsh_recall_and_precision(spark):
+    exact = _exact_pairs(spark)
+    assert len(exact) > 0, "vacuous: corpus has no J>=0.5 pairs"
+    got = {
+        (r.d1, r.d2)
+        for r in QM.q_minhash_lsh_pairs(spark, SF_DIR).select("d1", "d2").collect()
+    }
+    recall = len(got & exact) / len(exact)
+    precision = len(got & exact) / max(len(got), 1)
+    # measured r2: recall 1.0, precision 0.962 — gate with slack for
+    # future re-pins of N_HASHES/N_BANDS
+    assert recall >= 0.9, f"recall {recall:.3f} ({len(exact)} true pairs)"
+    assert precision >= 0.8, f"precision {precision:.3f} ({len(got)} candidates)"
