@@ -121,6 +121,44 @@ def dedup_stream(events_stream: "DataFrame") -> "DataFrame":
     ).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def stateful_user_totals(events_stream: "DataFrame") -> "DataFrame":
+    """Custom stateful operator via ``applyInPandasWithState`` (§2.8 /
+    task brief): per-user running (event count, value sum) maintained in
+    explicit GroupState ACROSS micro-batches — the shape any bespoke
+    streaming accumulator (per-repo quality counters, drift trackers)
+    takes when the built-in windowed aggs can't express it. Emits the
+    updated running total for every user seen in the batch (update mode);
+    state is two scalars per key, so memory is O(distinct users), never
+    O(events)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        n, tot = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            tot += float(pdf["value"].sum())
+        state.update((n, tot))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(tot, 4)],
+            }
+        )
+
+    return (
+        events_stream.groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            "user_id bigint, n_events bigint, total_value double",
+            "n bigint, total double",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def sliding_event_counts(events_stream: "DataFrame") -> "DataFrame":
     """Sliding 10-min window, 5-min slide, past the watermark (§2.8)."""
     from pyspark.sql import functions as F

@@ -200,6 +200,9 @@ def test_streaming_update_and_complete_modes(spark, tmp_path):
         .select("event_id", "ts", "event_type", "value")
     )
     pdf = ev.toPandas()
+    # pandas writes ns timestamps; Spark's vectorized reader wants us
+    # (this test survives either way via column pruning, but don't rely on it)
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
     pdf.iloc[: len(pdf) // 2].to_parquet(src / "a.parquet", index=False)
     pdf.iloc[len(pdf) // 2 :].to_parquet(src / "b.parquet", index=False)
     schema = "event_id bigint, ts timestamp_ntz, event_type string, value double"
@@ -240,3 +243,54 @@ def test_streaming_update_and_complete_modes(spark, tmp_path):
         "SELECT event_type, MAX(n) AS n FROM m_update GROUP BY event_type"
     ).collect()
     assert {r["event_type"]: r["n"] for r in upd} == expected
+
+
+def test_stateful_user_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState: GroupState must carry per-user counters
+    ACROSS micro-batches — the final emitted total per user equals the
+    batch aggregate over all files."""
+    src = tmp_path / "st_src"
+    src.mkdir()
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    pdf = ev.toPandas()
+    # pandas writes ns timestamps; Spark's vectorized reader wants us
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.iloc[: len(pdf) // 2].to_parquet(src / "a.parquet", index=False)
+    pdf.iloc[len(pdf) // 2 :].to_parquet(src / "b.parquet", index=False)
+    schema = (
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double"
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        spipe.stateful_user_totals(stream)
+        .writeStream.format("memory").queryName("m_state")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    # per user, n_events is monotone across emissions: the max row is the
+    # final state; it must match the batch aggregate
+    final = spark.sql(
+        """SELECT user_id, MAX(n_events) AS n,
+                  MAX_BY(total_value, n_events) AS tot
+           FROM m_state GROUP BY user_id"""
+    ).toPandas().set_index("user_id")
+    exp = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("tot"))
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert len(final) == len(exp)
+    j = exp.join(final, lsuffix="_e", rsuffix="_g")
+    assert (j["n_e"] == j["n_g"]).all()
+    assert (j["tot_e"] - j["tot_g"]).abs().max() < 1e-6
+    # multi-batch evidence: at least one user was emitted twice
+    n_rows = spark.sql("SELECT COUNT(*) AS c FROM m_state").collect()[0]["c"]
+    assert n_rows > len(exp)
