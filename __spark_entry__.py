@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_array_funcs": QT.q_explode_array_funcs,
         "scalar_udf_vowels": QT.q_scalar_pandas_udf_vowels,
         "scalar_iter_udf_density": QT.q_scalar_iter_udf_density,
+        "struct_udf_stats": QT.q_struct_udf_stats,
         "arrow_byte_stats": QT.q_map_in_arrow_bytes,
         # model/sketch-backed (rows-only checks)
         "pipeline_documents": QM.q_pipeline_documents,
@@ -156,6 +157,7 @@ def oracle_sql() -> dict[str, str]:
         "explode_array_funcs": QT.SQL_EXPLODE_ARRAY,
         "scalar_udf_vowels": QT.SQL_SCALAR_VOWELS,
         "scalar_iter_udf_density": QT.SQL_SCALAR_ITER_DENSITY,
+        "struct_udf_stats": QT.SQL_STRUCT_UDF_STATS,
         "arrow_byte_stats": QT.SQL_ARROW_BYTES,
         # pipeline_documents / minhash_lsh_pairs / simhash_buckets /
         # ann_lsh_cosine / multimodal_features: intentionally omitted —

@@ -669,3 +669,43 @@ SELECT doc_id,
          AS token_density
 FROM documents
 """
+
+
+def q_struct_udf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct-returning pandas UDF (SURVEY §2.4 row 3, the LITERAL form —
+    Series -> DataFrame mapped to a struct column): one Arrow crossing
+    yields several typed fields at once, the shape any multi-metric text
+    scorer takes. The fused pipeline subsumes this pattern; this query
+    covers the API itself, oracle-matched after flattening the struct."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _stats(s):
+        t = s.fillna("")
+        return pd.DataFrame(
+            {
+                "n_chars": t.str.len().astype("int64"),
+                "n_words": t.str.count(r"\S+").astype("int64"),
+                "n_lines": (t.str.count("\n") + 1).astype("int64"),
+            }
+        )
+
+    _stats.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
+    stats = pandas_udf(_stats, "n_chars bigint, n_words bigint, n_lines bigint")
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", stats("text").alias("s")).select(
+        "doc_id",
+        F.col("s.n_chars").alias("n_chars"),
+        F.col("s.n_words").alias("n_words"),
+        F.col("s.n_lines").alias("n_lines"),
+    )
+
+
+SQL_STRUCT_UDF_STATS = r"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(regexp_extract_all(text, '\S+')) AS n_words,
+       len(regexp_extract_all(text, chr(10))) + 1 AS n_lines
+FROM documents
+"""
