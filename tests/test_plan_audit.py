@@ -1,0 +1,46 @@
+"""Whole-surface physical-plan audit (SURVEY §4 / BASELINE.json:15):
+every query registered in __spark_entry__.queries() is PLANNED (never
+executed — cheap) and its physical plan screened for the two classes of
+regressions that source lints can't see:
+
+1. accidental cartesian products — only the two documented by-design
+   cases may contain one (cosine_topk broadcasts a tiny query side;
+   embedding_near_dup is the pinned exact baseline whose scale path is
+   the LSH/IVF twins);
+2. per-row Python evaluation (BatchEvalPython) — the runtime counterpart
+   of the `F.udf` source lint; only Arrow-batched eval (ArrowEvalPython,
+   MapInPandas, FlatMapGroupsInPandas, PythonMapInArrow) is allowed.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# cartesian/broadcast-NLJ allowed: small side is bounded by construction
+CARTESIAN_OK = {
+    "cosine_topk",        # 5-row query side, crossJoin by design
+    "embedding_near_dup", # pinned exact O(n^2) baseline; LSH twin scales
+    "range_join",         # broadcast nested loop vs 3-row literal bands
+}
+
+QUERIES = sorted(entrymod.queries().items())
+
+
+def _plan(spark, fn):
+    df = fn(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name,fn", QUERIES, ids=[n for n, _ in QUERIES])
+def test_no_accidental_cartesian_or_per_row_python(spark, name, fn):
+    plan = _plan(spark, fn)
+    if name not in CARTESIAN_OK:
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: nested-loop join (missing equi-condition?)"
+        )
+    assert "BatchEvalPython" not in plan, f"{name}: per-row Python UDF node"
