@@ -64,6 +64,15 @@ def run_at(cores: int, corpus: str) -> dict:
 
 
 def main() -> None:
+    # Scaling runs use a 4x corpus (420k rows) by default: the criterion
+    # is the JOB's steady-state rate at N vs 4N, and after the r2 kernel
+    # speedups the 105k corpus finishes in ~10 s at 4N — short enough
+    # that fixed overhead (job scheduling, stage barriers) and hypervisor
+    # steal dominate the ratio. A 100 TB run amortizes both; a ~40 s
+    # window is the smallest honest proxy on this host.
+    os.environ.setdefault(
+        "SPARK_GRAFT_BENCH_N", os.environ.get("SPARK_GRAFT_SCALE_ROWS", "420000")
+    )
     import bench
 
     corpus = bench.corpus_path()
