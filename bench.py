@@ -120,6 +120,22 @@ def main() -> None:
         "files_per_sec": round(files_in / pipe_sec, 1),
     }
 
+    # --- prebucketed (Iceberg bucket(repo) production) DAG --------------
+    # Same input, prebucketed=True: scores on the (bucket, salt) layout an
+    # Iceberg bucket(repo) table would arrive in, with explicit hot-repo
+    # salting. Reported alongside the default DAG so the production path
+    # has a measured number (VERDICT r02 #8). The default run above doubles
+    # as its warm-up (same kernels, same workers).
+    t0 = time.perf_counter()
+    res_pb = pipeline.run(src, cfg, prebucketed=True)
+    pb_sec = time.perf_counter() - t0
+    pipe_pb = {
+        "files_in": files_in,
+        "files_out": res_pb["files_out"],
+        "sec": round(pb_sec, 3),
+        "files_per_sec": round(files_in / pb_sec, 1),
+    }
+
     # --- headline coverage queries at SF_DIR -----------------------------
     # two passes, report the best: pass 1 absorbs whole-stage-codegen JIT
     # and shuffle-service warmup that otherwise lands entirely on whichever
@@ -137,6 +153,11 @@ def main() -> None:
             if name not in qtimes or dt < qtimes[name]:
                 qtimes[name] = dt
             _ = n
+        # ngram_jaccard/minhash persist() a shared subtree that can only be
+        # released after the consuming action; drop those cached DataFrames
+        # between passes so repeated invocations never accumulate storage
+        # memory (ADVICE r02 persist-leak finding).
+        spark.catalog.clearCache()
     total = round(sum(qtimes.values()), 3)
 
     out = {
@@ -147,6 +168,7 @@ def main() -> None:
         "queries": qtimes,
         "sf": None,
         "pipeline": pipe,
+        "pipeline_prebucketed": pipe_pb,
         "cores": master,  # the actual master used, not the env echo
     }
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -157,13 +179,26 @@ def main() -> None:
     if scaling_file.exists():
         try:
             rec = json.loads(scaling_file.read_text())
+            # r3 methodology: headline = MEDIAN of the latest session's
+            # paired interleaved reps at the within-capacity window, with
+            # the SURVEY-pinned 8->32 window recorded alongside (VERDICT
+            # r02 #2 / ADVICE r02 — no best-ever ratchet).
             out["scaling_efficiency_N_to_4N"] = rec["value"]
+            out["scaling_method"] = rec.get("method")
             out["scaling_measured_at"] = rec.get("measured_at")
-            # full disclosure: best-of-session plus the measured spread
-            # (the hypervisor's parallel capacity swings ±40% run-to-run)
             if "spread" in rec:
                 out["scaling_spread"] = rec["spread"]
-                out["scaling_n_runs"] = rec["n_runs"]
+                out["scaling_n_runs"] = rec.get("n_runs")
+            if "windows" in rec:
+                out["scaling_windows"] = {
+                    k: {
+                        "median": w["median"],
+                        "min": w["min"],
+                        "max": w["max"],
+                        "effs": w["effs"],
+                    }
+                    for k, w in rec["windows"].items()
+                }
         except (ValueError, KeyError):
             pass
     print(json.dumps(out))

@@ -2,20 +2,31 @@
 """Scaling-efficiency measurement (BASELINE.json:2,14 — throughput scaling
 >= 0.8 from N to 4N executors).
 
-Sandbox proxy (BASELINE.md): the same job, same input, same code at
-local[8] vs local[32] — one JVM, 8 vs 32 executor threads. The pipeline's
+Sandbox proxy (BASELINE.md): the same job, same input, same code at two
+parallelism levels — one JVM, N vs 4N executor threads. The pipeline's
 parallelism knobs all derive from defaultParallelism (session.py,
 bucketize), so no retuning happens between the two runs — exactly the
 "same code scales N -> 4N" contract. Prod form: spark-submit --py-files at
 N and 4N executors.
 
-Prints one JSON line with both rates and the efficiency.
+Methodology (r3, per VERDICT r02 #2): measured at BOTH windows —
+local[1] -> local[4] (inside the host's honest core budget) and the
+SURVEY-pinned local[8] -> local[32] (which on this Firecracker microVM
+additionally measures hypervisor oversubscription: the host ADVERTISES
+32 vCPUs but delivers ~8-10 cores — BENCH/BASELINE.md capacity curve).
+Per window: k interleaved (lo, hi) rep pairs; per-rep efficiency
+eff_i = hi_i / (ratio * lo_i); the HEADLINE is the MEDIAN of the 1->4
+window's per-rep efficiencies (not a best-of ratchet — ADVICE r02), with
+min/max spread and the full per-rep list recorded for both windows.
+
+Prints one JSON line with both windows and the headline.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -47,7 +58,13 @@ print(json.dumps({{"cores": {cores}, "sec": round(dt, 2),
 spark.stop()
 """
 
-REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "5"))
+# "lo:hi,lo:hi" — first window is the headline (within host capacity);
+# second is the SURVEY-pinned proxy window.
+WINDOWS = [
+    tuple(int(x) for x in w.split(":"))
+    for w in os.environ.get("SPARK_GRAFT_SCALE_WINDOWS", "1:4,8:32").split(",")
+]
 
 
 def run_at(cores: int, corpus: str) -> dict:
@@ -63,6 +80,36 @@ def run_at(cores: int, corpus: str) -> dict:
     return json.loads(line)
 
 
+def measure_window(n_lo: int, n_hi: int, corpus: str) -> dict:
+    """k interleaved (lo, hi) pairs; per-rep paired efficiency; median.
+
+    INTERLEAVED because the hypervisor's available compute drifts
+    minute-to-minute (measured ±40%): pairing each lo with the hi run
+    adjacent in time makes each eff_i a same-conditions ratio, and the
+    median over k pairs is robust to any single noisy rep — unlike the
+    r2 best-of ratchet, a later regression moves the headline.
+    """
+    ratio = n_hi / n_lo
+    effs, lo_rates, hi_rates = [], [], []
+    for _ in range(REPS):
+        lo = run_at(n_lo, corpus)
+        hi = run_at(n_hi, corpus)
+        lo_rates.append(lo["files_per_sec"])
+        hi_rates.append(hi["files_per_sec"])
+        effs.append(round(hi["files_per_sec"] / (ratio * lo["files_per_sec"]), 3))
+    return {
+        "n_lo": n_lo,
+        "n_hi": n_hi,
+        "ratio": ratio,
+        "median": round(statistics.median(effs), 3),
+        "min": min(effs),
+        "max": max(effs),
+        "effs": effs,
+        "rates_lo": lo_rates,
+        "rates_hi": hi_rates,
+    }
+
+
 def main() -> None:
     # Scaling runs use a 4x corpus (420k rows) by default: the criterion
     # is the JOB's steady-state rate at N vs 4N, and after the r2 kernel
@@ -76,47 +123,27 @@ def main() -> None:
     import bench
 
     corpus = bench.corpus_path()
-    # N vs 4N proxy. Default N=2: this sandbox is a Firecracker microVM
-    # that ADVERTISES 32 vCPUs but delivers ~8-10 cores of real compute
-    # (measured: aggregate kernel throughput saturates at ~16k rows/s by
-    # 8-16 procs and DROPS at 32; load average peaks ~7 under a 34-worker
-    # Spark stage). local[2] -> local[8] therefore measures the CODE's
-    # scaling inside the host's honest capacity; local[8] -> local[32]
-    # measures the hypervisor's oversubscription, not the pipeline.
-    n_lo = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
-    n_hi = 4 * n_lo
-    # INTERLEAVED reps, best-per-side: the hypervisor's available compute
-    # drifts minute-to-minute (measured ±40%, occasionally worse), and a
-    # sequential lo,lo,hi,hi order lets a mid-run capacity swing land
-    # entirely on one side of the ratio. Alternate lo,hi per rep so both
-    # sides sample the same conditions; best-of-REPS damps the noise
-    # floor on each side independently.
-    lo_runs, hi_runs = [], []
-    for _ in range(REPS):
-        lo_runs.append(run_at(n_lo, corpus))
-        hi_runs.append(run_at(n_hi, corpus))
-    lo = max(lo_runs, key=lambda r: r["files_per_sec"])
-    hi = max(hi_runs, key=lambda r: r["files_per_sec"])
-    eff = hi["files_per_sec"] / (4 * lo["files_per_sec"])
+    windows = {
+        f"{lo}to{hi}": measure_window(lo, hi, corpus) for lo, hi in WINDOWS
+    }
+    head_key = f"{WINDOWS[0][0]}to{WINDOWS[0][1]}"
+    head = windows[head_key]
     result = {
         "metric": "scaling_efficiency_Nx4",
-        "value": round(eff, 3),
+        "value": head["median"],
         "unit": "ratio",
-        "n_lo": lo,
-        "n_hi": hi,
-        "pass": eff >= 0.8,
+        "method": f"median-of-{REPS} paired interleaved reps, window {head_key}",
+        "headline_window": head_key,
+        "windows": windows,
+        "pass": head["median"] >= 0.8,
         "reps": REPS,
-        "all_lo": [r["files_per_sec"] for r in lo_runs],
-        "all_hi": [r["files_per_sec"] for r in hi_runs],
         "measured_at": time.time(),
     }
     print(json.dumps(result))
     # Record for bench.py to report as a MEASURED value (never hardcoded).
-    # The hypervisor's parallel capacity swings run-to-run (measured
-    # 0.53-0.74 same-code same-hour), so keep every run in a history file
-    # and let scaling.json carry the session BEST alongside the last
-    # value and the full spread — the best run is the one least distorted
-    # by noisy-neighbor steal, and the spread keeps the claim honest.
+    # History is kept for trend visibility, but the headline is ALWAYS the
+    # latest session's median — no best-ever ratchet (ADVICE r02: a ratchet
+    # can mask a real scaling regression forever).
     cache = REPO / ".bench_cache"
     cache.mkdir(exist_ok=True)
     hist_path = cache / "scaling_history.jsonl"
@@ -127,17 +154,14 @@ def main() -> None:
         for line in hist_path.read_text().splitlines()
         if line.strip()
     ]
-    best = max(runs, key=lambda r: r["value"])
+    vals = [r["value"] for r in runs]
     (cache / "scaling.json").write_text(
         json.dumps(
             {
-                **best,
-                "last_value": result["value"],
+                **result,
                 "n_runs": len(runs),
-                "spread": [
-                    min(r["value"] for r in runs),
-                    max(r["value"] for r in runs),
-                ],
+                "spread": [head["min"], head["max"]],
+                "history_values": vals[-10:],
             }
         )
     )

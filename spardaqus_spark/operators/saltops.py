@@ -10,6 +10,17 @@ exceeds one task's memory, or (c) the per-group work is a grouped-map
 pandas UDF with no partial-agg form. These operators make the salt
 explicit so the plan is skew-free BY CONSTRUCTION at any scale:
 
+Salt determinism (r3): the salt is ``pmod(xxhash64(*row_cols, seed), K)``
+— a pure function of row CONTENT. Under a fetch-failure partial stage
+retry on a real cluster, a recomputed map task re-derives the SAME salt
+for every row, so completed and re-run reducers of the (key, salt)
+exchange never double-count or drop rows. (The earlier r2 salt hashed a
+per-row generated id, which Catalyst flags nondeterministic and which
+could re-salt rows on recompute.) Caveat: byte-identical
+duplicate rows share a salt; skew-spreading assumes hot KEYS with
+distinct payloads, which is the case salting exists for — a hot key of
+identical rows should be collapsed by dedup/count first.
+
 - ``salted_join``: big side gets ``salt = pmod(xxhash64(row), K)``; the
   small side is replicated K ways via ``explode(sequence(0, K-1))``;
   join key becomes ``(key, salt)``. A hot key's rows now spread over K
@@ -34,6 +45,17 @@ if TYPE_CHECKING:
     from pyspark.sql import DataFrame
 
 SALT = "__salt"
+_SALT_SEED = 0x5A17  # stable across runs; part of the pinned salt function
+
+
+def _content_salt(df: "DataFrame", k: int):
+    """Deterministic salt: hash of every column + seed, mod k.
+
+    xxhash64 is a Catalyst-deterministic expression, so filter pushdown
+    through the salted projection is preserved and task retries re-derive
+    identical salts (see module docstring).
+    """
+    return F.pmod(F.xxhash64(*df.columns, F.lit(_SALT_SEED)), F.lit(k))
 
 
 def salted_join(
@@ -48,17 +70,16 @@ def salted_join(
     Supports ``inner`` and ``left`` (the big-side-preserving joins —
     replicating the small side K times would duplicate ITS unmatched
     rows, so right/full are rejected). The salt is a deterministic hash
-    of a per-row id: correctness never depends on WHICH salt a row gets,
-    only that each big row has exactly one.
+    of the full row content (retry-safe; see module docstring):
+    correctness never depends on WHICH salt a row gets, only that each
+    big row derives exactly one, identically on every recompute.
     """
     if how not in ("inner", "left"):
         raise ValueError(
             f"salted_join supports inner/left (big-side preserving); got {how!r}"
         )
     keys = [on] if isinstance(on, str) else list(on)
-    big_s = big.withColumn(
-        SALT, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(k))
-    )
+    big_s = big.withColumn(SALT, _content_salt(big, k))
     # sequence over bigint bounds so the exploded salt matches pmod's type
     # (a generator cannot be nested inside an outer cast)
     small_s = small.withColumn(
@@ -112,9 +133,7 @@ def salted_agg(
         else:
             raise ValueError(f"{out}: non-decomposable fn {fn!r}")
 
-    salted = df.withColumn(
-        SALT, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(k))
-    )
+    salted = df.withColumn(SALT, _content_salt(df, k))
     partial = salted.groupBy(*keys, SALT).agg(
         *[_PARTIAL[fn](col).alias(out) for out, (fn, col) in plan.items()]
     )

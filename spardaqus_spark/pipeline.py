@@ -142,16 +142,22 @@ def run(
             .partitionBy("bucket")
             .parquet(out_path)
         )
+        per_bucket = clean.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+        seen = {int(r["bucket"]): int(r["n"]) for r in per_bucket}
         # per-stage lineage ([B:6] "every stage"): dedup/score/verdict/
         # scrub/write rows, bucket-partitioned so the orphan sweep covers
         # the lineage sink with the same manifest check as the data sink.
-        # lineage is tiny (<= partitions x buckets x 5 rows) — coalesce(1)
-        # so the bucket-partitioned write emits one file per bucket dir,
-        # not one per (task, bucket).
-        lineage_df = lin.collect_lineage_all_stages(v, run_id).coalesce(1)
+        # The write stage's files_out is the OBSERVED post-write count per
+        # bucket (`seen` — the same numbers the manifests commit), not the
+        # derived n_keep, so a write-side failure shows up as a
+        # files_in/files_out mismatch (VERDICT r02 #3). lineage is tiny
+        # (<= partitions x buckets x 5 rows) — coalesce(1) so the
+        # bucket-partitioned write emits one file per bucket dir, not one
+        # per (task, bucket).
+        lineage_df = lin.collect_lineage_all_stages(
+            v, run_id, write_counts=seen
+        ).coalesce(1)
         lineage_df.write.mode("append").partitionBy("bucket").parquet(lineage_path)
-        per_bucket = clean.groupBy("bucket").agg(F.count("*").alias("n")).collect()
-        seen = {int(r["bucket"]): int(r["n"]) for r in per_bucket}
         # buckets that were processed but produced zero kept rows still commit
         processed = {
             int(r["bucket"]) for r in v.select("bucket").distinct().collect()

@@ -80,7 +80,10 @@ PIPELINE_STAGES = ("dedup", "score", "verdict", "scrub", "write")
 
 
 def collect_lineage_all_stages(
-    df_verdict: "DataFrame", run_id: str, attempt: int = 1
+    df_verdict: "DataFrame",
+    run_id: str,
+    attempt: int = 1,
+    write_counts: dict[int, int] | None = None,
 ) -> "DataFrame":
     """Per-partition lineage for EVERY pipeline stage ([B:6] 'every stage
     writes per-partition lineage rows') from the fused verdict frame in a
@@ -92,9 +95,18 @@ def collect_lineage_all_stages(
       score:   in = all rows,   out = all rows (scoring drops nothing)
       verdict: in = all rows,   out = keep (rule_keep & survivor)
       scrub:   in = kept rows,  out = kept rows (rewrite, no drops)
-      write:   in = kept rows,  out = kept rows
+      write:   in = kept rows,  out = OBSERVED committed count when
+               ``write_counts`` (bucket -> rows the write job actually
+               landed, counted post-write) is given — VERDICT r02 #3: a
+               write-side task failure then shows as files_in != files_out
+               instead of lineage silently overstating the sink. Write
+               rows are sink-grained (partition_id = -1, one row per
+               bucket) because commit happens per bucket, not per input
+               partition. Without ``write_counts`` (plan-only callers,
+               e.g. conservation tests) files_out falls back to the
+               derived n_keep.
 
-    One groupBy(partition, bucket) -> 5 exploded stage rows per group;
+    One groupBy(partition, bucket) -> exploded stage rows per group;
     rule_hit_counts attach to the verdict stage only."""
     from pyspark.sql import functions as F
 
@@ -112,15 +124,18 @@ def collect_lineage_all_stages(
             F.sum(F.col("keep").cast("long")).alias("n_keep"),
         )
     )
-    stage_rows = F.array(
+    derived = [
         F.struct(F.lit("dedup").alias("stage"), F.col("n_all").alias("fi"), F.col("n_surv").alias("fo")),
         F.struct(F.lit("score").alias("stage"), F.col("n_all").alias("fi"), F.col("n_all").alias("fo")),
         F.struct(F.lit("verdict").alias("stage"), F.col("n_all").alias("fi"), F.col("n_keep").alias("fo")),
         F.struct(F.lit("scrub").alias("stage"), F.col("n_keep").alias("fi"), F.col("n_keep").alias("fo")),
-        F.struct(F.lit("write").alias("stage"), F.col("n_keep").alias("fi"), F.col("n_keep").alias("fo")),
-    )
+    ]
+    if write_counts is None:
+        derived.append(
+            F.struct(F.lit("write").alias("stage"), F.col("n_keep").alias("fi"), F.col("n_keep").alias("fo"))
+        )
     per_stage = base.select(
-        "partition_id", "bucket", F.explode(stage_rows).alias("s")
+        "partition_id", "bucket", F.explode(F.array(*derived)).alias("s")
     ).select(
         "partition_id",
         "bucket",
@@ -128,6 +143,29 @@ def collect_lineage_all_stages(
         F.col("s.fi").alias("files_in"),
         F.col("s.fo").alias("files_out"),
     )
+    if write_counts is not None:
+        # sink-grained write rows: files_in = kept rows entering the write
+        # (derived), files_out = the count the write job actually committed
+        # (a bucket -> n map, O(num_buckets) literals)
+        if write_counts:
+            observed = F.create_map(
+                *[F.lit(x) for kv in write_counts.items() for x in kv]
+            )
+            fo = F.coalesce(observed[F.col("bucket")], F.lit(0))
+        else:  # resumed run with nothing left to write: zero committed
+            fo = F.lit(0)
+        write_rows = (
+            base.groupBy("bucket")
+            .agg(F.sum("n_keep").alias("files_in"))
+            .select(
+                F.lit(-1).alias("partition_id"),
+                "bucket",
+                F.lit("write").alias("stage"),
+                "files_in",
+                fo.cast("long").alias("files_out"),
+            )
+        )
+        per_stage = per_stage.unionByName(write_rows)
     verdict_only = collect_lineage(df_verdict, run_id, attempt).select(
         "partition_id", "bucket", "rule_hit_counts"
     )
@@ -149,6 +187,50 @@ def collect_lineage_all_stages(
             "files_out",
             "rule_hit_counts",
         )
+    )
+
+
+STREAM_STAGES = ("score", "verdict", "scrub")
+
+
+def collect_lineage_stream(scored_df: "DataFrame", batch_id: int) -> "DataFrame":
+    """Per-micro-batch, per-partition lineage for the streaming ingest path
+    (VERDICT r02 #4 'streaming lineage parity'): same derivation as the
+    batch path but keyed by ``batch_id`` instead of (run_id, bucket) — the
+    streaming DAG has no bucket repartition; its commit grain IS the
+    micro-batch. The caller writes this partitioned by batch_id with
+    dynamic partition overwrite, so a Structured Streaming retry replaces
+    exactly its own lineage partition (idempotent, like the data sink).
+
+      score:   in = batch rows, out = batch rows
+      verdict: in = batch rows, out = rule_keep rows
+      scrub:   in = kept rows,  out = kept rows
+    """
+    from pyspark.sql import functions as F
+
+    base = (
+        scored_df.select(
+            F.spark_partition_id().alias("partition_id"), "rule_keep"
+        )
+        .groupBy("partition_id")
+        .agg(
+            F.count("*").alias("n_all"),
+            F.sum(F.col("rule_keep").cast("long")).alias("n_keep"),
+        )
+    )
+    stage_rows = F.array(
+        F.struct(F.lit("score").alias("stage"), F.col("n_all").alias("fi"), F.col("n_all").alias("fo")),
+        F.struct(F.lit("verdict").alias("stage"), F.col("n_all").alias("fi"), F.col("n_keep").alias("fo")),
+        F.struct(F.lit("scrub").alias("stage"), F.col("n_keep").alias("fi"), F.col("n_keep").alias("fo")),
+    )
+    return base.select(
+        "partition_id", F.explode(stage_rows).alias("s")
+    ).select(
+        F.lit(int(batch_id)).alias("batch_id"),
+        F.col("s.stage").alias("stage"),
+        "partition_id",
+        F.col("s.fi").alias("files_in"),
+        F.col("s.fo").alias("files_out"),
     )
 
 

@@ -480,8 +480,13 @@ def q_boilerplate_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     express; per-repo boilerplate detection at corpus scale is this exact
     shape with repo as the key. (Whole-LINE sharing is zero in this
     corpus — measured — so the word grain keeps the check non-vacuous.)
-    Pinned: words = whitespace-split of lowercased text, counted once per
-    doc, frac rounded to 4."""
+    Pinned: words = ASCII-whitespace-split ([ \\t\\n\\r\\f\\x0b]+) of
+    lowercased text, counted once per doc, frac rounded to 4. The split
+    class is EXPLICIT in all three engines (pandas here, Java regex in
+    q_boilerplate_scalable, RE2 in SQL_BOILERPLATE) because their \\s
+    defaults disagree on Unicode whitespace (pandas str.split() is
+    Unicode-aware; Java \\s and RE2 \\s are ASCII-ish but differ on
+    \\x0b) — ADVICE r02."""
     import pandas as pd
 
     docs = load(spark, sf_dir, "documents").select("source", "doc_id", "text")
@@ -489,7 +494,12 @@ def q_boilerplate_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         total = pdf["doc_id"].nunique()
-        words = pdf["text"].fillna("").str.lower().str.split()
+        words = (
+            pdf["text"]
+            .fillna("")
+            .str.lower()
+            .str.split(r"[ \t\n\r\f\x0b]+", regex=True)
+        )
         ex = words.explode()
         d = pd.DataFrame(
             {"doc": pdf["doc_id"].reindex(ex.index).to_numpy(), "word": ex.to_numpy()}
@@ -512,7 +522,7 @@ def q_boilerplate_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_BOILERPLATE = r"""
 WITH ex AS (
   SELECT DISTINCT source, doc_id,
-         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+         unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\r\f\x0B]+')) AS word
   FROM documents
 ), nb AS (
   SELECT * FROM ex WHERE word <> ''
@@ -608,7 +618,9 @@ def q_boilerplate_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "doc_id",
         F.explode(
-            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            # explicit ASCII whitespace class — pinned identically across
+            # the pandas twin and the RE2 oracle (see q_boilerplate_tokens)
+            F.split(F.trim(F.lower(F.col("text"))), "[ \\t\\n\\r\\f\\x0B]+")
         ).alias("word"),
     ).filter(F.col("word") != "")
     per_doc = words.dropDuplicates(["source", "doc_id", "word"])

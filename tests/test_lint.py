@@ -54,6 +54,28 @@ def test_no_per_row_batch_iteration():
     )
 
 
+def test_no_nondeterministic_expressions():
+    """Round-3 rule (VERDICT r02 #2 / ADVICE r02): no Catalyst-
+    nondeterministic expressions in the package. monotonically_increasing_id
+    and rand() re-evaluate differently on task recompute, which breaks
+    retry-safety for anything derived from them (e.g. salts) and blocks
+    filter pushdown through their projection. Salts must be content
+    hashes (operators/saltops.py:_content_salt)."""
+    offenders = []
+    for p in sorted(PKG.rglob("*.py")):
+        for i, line in enumerate(p.read_text().splitlines(), 1):
+            code = line.split("#", 1)[0]
+            if re.search(
+                r"monotonically_increasing_id|(?<![\w.])F\.(?:rand|randn)\s*\(",
+                code,
+            ):
+                offenders.append(f"{p.name}:{i}: {line.strip()}")
+    assert not offenders, (
+        "nondeterministic Catalyst expressions are forbidden:\n"
+        + "\n".join(offenders)
+    )
+
+
 def test_no_rdd_api_in_hot_path():
     """RDD API bypasses Catalyst/Arrow (SURVEY §1.3). The single sanctioned
     use is the tiny driver-side JSON-batch envelope in sources/io.py."""

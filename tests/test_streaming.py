@@ -189,6 +189,29 @@ def test_micro_batch_retry_is_idempotent(spark, corpus_pdf, tmp_path):
     n = spark.read.parquet(str(out)).count()
     assert n == 2 * len(first)
 
+    # streaming lineage parity (VERDICT r02 #4): per-stage lineage landed
+    # per micro-batch, idempotent under the SAME retry — batch 7 ran twice
+    # but its lineage rows exist exactly once, and conservation holds per
+    # batch: score in == 120 batch rows, verdict out == kept == scrub out
+    # == rows the data sink holds for that batch.
+    lin = spark.read.parquet(str(out) + "_lineage").toPandas()
+    assert sorted(lin["batch_id"].unique()) == [7, 8]
+    dupes = lin.groupby(["batch_id", "stage", "partition_id"]).size()
+    assert (dupes == 1).all()
+    for bid in (7, 8):
+        lb = lin[lin["batch_id"] == bid]
+        kept_rows = (
+            spark.read.parquet(str(out))
+            .filter(F.col("batch_id") == bid)
+            .count()
+        )
+        by_stage = lb.groupby("stage")[["files_in", "files_out"]].sum()
+        assert by_stage.loc["score", "files_in"] == len(pdf)
+        assert by_stage.loc["score", "files_out"] == len(pdf)
+        assert by_stage.loc["verdict", "files_out"] == kept_rows
+        assert by_stage.loc["scrub", "files_in"] == kept_rows
+        assert by_stage.loc["scrub", "files_out"] == kept_rows
+
 
 def test_streaming_update_and_complete_modes(spark, tmp_path):
     """§2.8 output modes: update + complete over a stateful agg (append is
