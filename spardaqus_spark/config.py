@@ -66,6 +66,16 @@ class PipelineConfig:
     salt_k: int = 8
     hot_repo_threshold: int = 10_000
     arrow_batch_size: int = 512
+    # cross-file boilerplate metric (SURVEY §2.9.16, r3): when enabled, a
+    # per-file `boilerplate_frac` column is computed BEFORE scoring — the
+    # fraction of the file's token occurrences that are repo-boilerplate
+    # (tokens present in >= boilerplate_doc_frac of the repo's files, repos
+    # with >= boilerplate_min_files files only) — and is referenceable by
+    # rules like any other metric. Default OFF: it adds token-grain
+    # shuffles to the otherwise 2-shuffle DAG (opt-in cost).
+    boilerplate_frac_enabled: bool = False
+    boilerplate_doc_frac: float = 0.8
+    boilerplate_min_files: int = 2
     lexicon_path: str | None = None
     input_path: str | None = None
     output_path: str | None = None
@@ -131,6 +141,9 @@ def load_config(path: str | Path) -> PipelineConfig:
             "salt_k",
             "hot_repo_threshold",
             "arrow_batch_size",
+            "boilerplate_frac_enabled",
+            "boilerplate_doc_frac",
+            "boilerplate_min_files",
             "lexicon_path",
             "input_path",
             "output_path",

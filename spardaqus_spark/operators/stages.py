@@ -113,6 +113,11 @@ def score_scrub(
             m["lang_pred"] = lid["lang_pred"].to_numpy()
             m["lang_conf"] = lid["lang_conf"].to_numpy()
             m["ppl"] = ppl.perplexity(c, flat=flat).to_numpy()
+            # pre-joined cross-file metrics (with_boilerplate_frac) are
+            # input columns, not in-worker computations — surface them to
+            # the rule engine alongside the row-local metrics
+            if "boilerplate_frac" in pdf.columns:
+                m["boilerplate_frac"] = pdf["boilerplate_frac"].to_numpy()
             rule_keep, hits = apply_rules_pandas(rules, m, verdict_mode)
             keep = rule_keep.to_numpy() & ~pdf["dup_loser"].to_numpy()
 
@@ -137,6 +142,82 @@ def score_scrub(
             yield out
 
     return df.mapInPandas(fn, out_schema)
+
+
+# pinned tokenizer (SURVEY §2.9.16): explicit ASCII whitespace class —
+# identical across this codegen stage, the oracle's pandas twin
+# (oracle.boilerplate_frac) and the boilerplate queries (queries_text.py)
+BOILERPLATE_WS = "[ \\t\\n\\r\\f\\x0B]+"
+
+
+def with_boilerplate_frac(
+    df: "DataFrame", cfg: PipelineConfig | None = None
+) -> "DataFrame":
+    """+ boilerplate_frac:double — the CROSS-FILE stage (VERDICT r02 #7):
+    fraction of each file's token occurrences that are repo-boilerplate
+    (lowercased ASCII-whitespace tokens present in >= cfg.boilerplate_doc_frac
+    of the repo's distinct files; repos with < cfg.boilerplate_min_files
+    files contribute no boilerplate; token-less files get 0.0).
+
+    Pure codegen, the q_boilerplate_scalable shape generalized to the
+    pipeline: explode tokens -> per-(file, token) occurrence counts ->
+    doc-frequency per (repo, token) -> boilerplate set -> two sums per
+    file -> left join back. Every shuffle key ((repo,path,commit,tok)
+    then (repo,tok)) is high-cardinality and near-uniform, so no
+    mega-repo can pin a task; the per-repo totals are broadcast (one row
+    per repo). Opt-in via cfg.boilerplate_frac_enabled because it adds
+    token-grain shuffles to the 2-shuffle default DAG.
+
+    Duplicate (repo, path, commit) coordinates merge into one file for
+    both the doc-frequency and the per-file sums (pinned; the oracle twin
+    groups identically)."""
+    from pyspark.sql import functions as F
+
+    cfg = cfg or default_config()
+    file_key = ["repo", "path", "commit"]
+    toks = df.select(
+        *file_key,
+        F.explode(
+            F.split(F.trim(F.lower(F.col("content"))), BOILERPLATE_WS)
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    per_file = toks.groupBy(*file_key, "tok").agg(F.count("*").alias("occ"))
+    docfreq = per_file.groupBy("repo", "tok").agg(
+        F.count("*").alias("n_files")
+    )
+    totals = (
+        df.select(*file_key)
+        .distinct()
+        .groupBy("repo")
+        .agg(F.count("*").alias("n_total"))
+    )
+    bp = (
+        docfreq.join(F.broadcast(totals), "repo")
+        .filter(
+            (F.col("n_total") >= cfg.boilerplate_min_files)
+            & (
+                F.col("n_files") / F.col("n_total")
+                >= cfg.boilerplate_doc_frac
+            )
+        )
+        .select("repo", "tok")
+    )
+    occ_all = per_file.groupBy(*file_key).agg(F.sum("occ").alias("occ_all"))
+    occ_bp = (
+        per_file.join(bp, ["repo", "tok"])
+        .groupBy(*file_key)
+        .agg(F.sum("occ").alias("occ_bp"))
+    )
+    frac = occ_all.join(occ_bp, file_key, "left").select(
+        *file_key,
+        (
+            F.coalesce(F.col("occ_bp"), F.lit(0)).cast("double")
+            / F.col("occ_all")
+        ).alias("boilerplate_frac"),
+    )
+    return df.join(frac, file_key, "left").fillna(
+        0.0, subset=["boilerplate_frac"]
+    )
 
 
 def verdict(df: "DataFrame", cfg: PipelineConfig | None = None) -> "DataFrame":

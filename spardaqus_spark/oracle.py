@@ -60,6 +60,74 @@ def score(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def boilerplate_frac(
+    df: pd.DataFrame, doc_frac: float = 0.8, min_files: int = 2
+) -> pd.Series:
+    """Pandas twin of stages.with_boilerplate_frac (SURVEY §2.9.16):
+    per-file fraction of token occurrences that are repo-boilerplate.
+    Pinned identically: lowercase, explicit ASCII whitespace class
+    [ \\t\\n\\r\\f\\x0b]+, empty tokens dropped, file = distinct
+    (repo, path, commit), repos below min_files contribute none,
+    token-less files -> 0.0. int/int double division both engines —
+    bit-identical, no rounding."""
+    key = ["repo", "path", "commit"]
+    toks = (
+        df["content"]
+        .fillna("")
+        .astype(str)
+        .str.lower()
+        .str.split(r"[ \t\n\r\f\x0b]+", regex=True)
+    )
+    ex = toks.explode()
+    d = pd.DataFrame(
+        {
+            "repo": df["repo"].reindex(ex.index).to_numpy(),
+            "path": df["path"].reindex(ex.index).to_numpy(),
+            "commit": df["commit"].reindex(ex.index).to_numpy(),
+            "tok": ex.to_numpy(),
+        }
+    )
+    d = d[d["tok"].notna() & (d["tok"] != "")]
+    per_file = (
+        d.groupby(key + ["tok"], sort=False).size().rename("occ").reset_index()
+    )
+    docfreq = (
+        per_file.groupby(["repo", "tok"], sort=False)
+        .size()
+        .rename("n_files")
+        .reset_index()
+    )
+    totals = (
+        df[key]
+        .drop_duplicates()
+        .groupby("repo", sort=False)
+        .size()
+        .rename("n_total")
+        .reset_index()
+    )
+    m = docfreq.merge(totals, on="repo")
+    bp = m[
+        (m["n_total"] >= min_files)
+        & (m["n_files"] / m["n_total"] >= doc_frac)
+    ][["repo", "tok"]]
+    occ_all = per_file.groupby(key)["occ"].sum().rename("occ_all")
+    occ_bp = (
+        per_file.merge(bp, on=["repo", "tok"])
+        .groupby(key)["occ"]
+        .sum()
+        .rename("occ_bp")
+    )
+    fr = pd.concat([occ_all, occ_bp], axis=1)
+    fr["occ_bp"] = fr["occ_bp"].fillna(0)
+    fr["boilerplate_frac"] = fr["occ_bp"].astype("int64").astype(
+        "float64"
+    ) / fr["occ_all"].astype("float64")
+    out = df.merge(
+        fr["boilerplate_frac"].reset_index(), on=key, how="left"
+    )
+    return out["boilerplate_frac"].fillna(0.0)
+
+
 def dedup_flag(df: pd.DataFrame) -> pd.Series:
     """True for rows that LOSE exact dedup (pinned winner: lexicographically
     smallest (repo, path, commit) per content sha256)."""
@@ -81,6 +149,10 @@ def run(df: pd.DataFrame, cfg: PipelineConfig | None = None) -> pd.DataFrame:
     """
     cfg = cfg or default_config()
     scored = score(df)
+    if cfg.boilerplate_frac_enabled:
+        scored["boilerplate_frac"] = boilerplate_frac(
+            df, cfg.boilerplate_doc_frac, cfg.boilerplate_min_files
+        ).to_numpy()
     rule_keep, hits = apply_rules_pandas(cfg.rules, scored, cfg.verdict)
     dup_loser = dedup_flag(scored)
     scored["dup_loser"] = dup_loser.to_numpy()

@@ -55,6 +55,12 @@ def build_verdict_frame(
     dedup via the same window afterwards.
     """
     cfg = cfg or default_config()
+    if cfg.boilerplate_frac_enabled:
+        # opt-in cross-file stage (VERDICT r02 #7): per-repo boilerplate
+        # fraction joined on BEFORE scoring so rules can reference it in
+        # both verdict compilers. Computed over the RAW input (pre-dedup),
+        # matching oracle.run.
+        df = stages.with_boilerplate_frac(df, cfg)
     if prebucketed:
         df = bk.bucketize(df, cfg, hot_repos=hot_repos)
         df = stages.with_sha(df)

@@ -372,7 +372,7 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 IVF_K = 64       # fixed centroid count — O(K) driver memory at ANY corpus size
-IVF_NPROBE = 2   # each vector lands in its 2 nearest cells; pairs dedup after
+IVF_NPROBE = 4   # each vector lands in its 4 nearest cells; pairs dedup after
 IVF_REFINE = 1   # Lloyd iterations refining the hash-sampled codebook
 
 
@@ -383,14 +383,23 @@ def q_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     reach the driver regardless of corpus size), batch NumPy matmul
     assigns each vector to its IVF_NPROBE nearest centroid cells, exact
     cosine runs only WITHIN cells. At corpus scale the cell join replaces
-    the full cross join; driver memory is O(K), never O(n). nprobe=2
-    doubles the candidate surface and one Lloyd refinement tunes the
-    codebook (measured on sf0.01 vs the exact cos>=0.35 baseline: recall
-    0.24 @ nprobe=1 raw codebook -> 0.435 @ nprobe=2 -> 0.557 with
-    refinement — synthetic near-uniform embeddings are IVF's worst case;
-    clustered real corpora recall far higher per probe). The
-    LSH variant (above) is the angle-preserving alternative for
-    unclustered data."""
+    the full cross join; driver memory is O(K), never O(n).
+
+    Measured recall@probe on sf0.01 (500 vecs, dim 64) vs the exact
+    cos>=0.35 baseline (271 true pairs), 1 Lloyd refinement unless noted
+    — near-uniform synthetic embeddings, IVF's worst case (no cluster
+    structure for the codebook to exploit; clustered real corpora recall
+    far higher per probe):
+
+        nprobe=2: 0.557      nprobe=4, refine=0: 0.705
+        nprobe=3: 0.720      nprobe=4 (PINNED):  0.845
+        nprobe=6: 0.937      nprobe=4, refine=2: 0.852
+
+    Gated at recall >= 0.7 by tests/test_recall.py. Candidate volume
+    stays cell-bounded at any setting: expected pairs ~ n^2*nprobe^2/(2K)
+    vs n^2/2 all-pairs — at production scale K grows ~sqrt(n) so the
+    per-cell exact-cosine work stays constant per vector. The LSH variant
+    (above) is the angle-preserving alternative for unclustered data."""
     import numpy as np
     import pandas as pd
 
@@ -415,8 +424,8 @@ def q_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cell, replace each centroid with the normalized cell mean. Fully
     # distributed — one mapInPandas assign + one applyInPandas per-cell
     # mean per iteration; only the K mean vectors reach the driver.
-    # Measured on sf0.01 (offline replicate, nprobe=2): recall 0.44 ->
-    # 0.54 after 1 iteration at unchanged candidate volume.
+    # Measured on sf0.01 at nprobe=4: recall 0.705 -> 0.845 after 1
+    # iteration at near-unchanged candidate volume (673 -> 776).
     for _ in range(IVF_REFINE):
         bc_it = spark.sparkContext.broadcast(C_norm)
 

@@ -117,6 +117,49 @@ def test_planted_strata_behavior(golden, corpus_pdf):
         assert rows["rule_hits"].map(lambda h: rule in h).all(), stratum
 
 
+def test_boilerplate_stage_matches_oracle(spark, corpus_sdf, corpus_pdf):
+    """VERDICT r02 #7: the opt-in cross-file boilerplate stage. With
+    boilerplate_frac_enabled and a rule over the new metric, the Spark
+    pipeline (codegen cross-file stage + in-worker verdict) must agree
+    with the oracle (pandas twin) exactly — column values AND keep
+    decisions (F1 = 1.0). Threshold 0.2 is calibrated non-vacuous on the
+    fixture corpus: ~100 of 840+ rows exceed it."""
+    from spardaqus_spark.config import DEFAULT_RULES, Rule
+
+    cfg = default_config(
+        rules=DEFAULT_RULES
+        + (Rule("boilerplate", "boilerplate_frac", ">", 0.2),),
+        boilerplate_frac_enabled=True,
+        num_buckets=8,
+        hot_repo_threshold=100,
+    )
+    inp = corpus_pdf[["repo", "path", "commit", "lang", "content"]]
+    g = oracle.run(inp, cfg)
+    assert 0 < (g["boilerplate_frac"] > 0.2).sum() < len(g), "vacuous rule"
+
+    v = pipeline.build_verdict_frame(corpus_sdf, cfg)
+    got = v.select(
+        "repo", "path", "commit", "boilerplate_frac", "keep", "rule_hits"
+    ).toPandas()
+    j = _join(
+        g[["repo", "path", "commit", "boilerplate_frac", "keep", "rule_hits"]],
+        got,
+    )
+    # bit-identical metric (int/int double division in both engines)
+    assert (j["boilerplate_frac_o"] == j["boilerplate_frac_s"]).all()
+    assert (j["keep_o"] == j["keep_s"]).all()
+    assert (
+        j["rule_hits_o"].map(tuple) == j["rule_hits_s"].map(tuple)
+    ).all()
+    # the new rule actually fires somewhere
+    assert j["rule_hits_s"].map(lambda h: "boilerplate" in h).any()
+    # prebucketed DAG (codegen verdict compiler) sees the column too
+    v2 = pipeline.build_verdict_frame(corpus_sdf, cfg, prebucketed=True)
+    got2 = v2.select("repo", "path", "commit", "keep").toPandas()
+    j2 = _join(g[["repo", "path", "commit", "keep"]], got2)
+    assert (j2["keep_o"] == j2["keep_s"]).all()
+
+
 def test_prebucketed_path_matches_oracle(spark, corpus_sdf, golden):
     """The production pre-bucketed DAG (bucketize+salt first, score in
     place, dedup after) must produce the same verdicts as the default
