@@ -82,6 +82,24 @@ def test_full_dag_two_shuffles(spark, files_parquet):
     assert p.count("+- Exchange") + p.count(":- Exchange") == 2
 
 
+def test_boilerplate_stage_plan_shape(spark, files_parquet):
+    """The opt-in cross-file boilerplate stage (SURVEY §2.9.17) must stay
+    scale-safe: per-repo totals BROADCAST to the doc-frequency join (never
+    a shuffled join against the token table), no cartesian product, no
+    Python stage (pure codegen), and the token-grain aggregations keyed on
+    high-cardinality (file, token) / (repo, token) composites."""
+    from spardaqus_spark.operators import stages
+
+    src = spark.read.parquet(files_parquet)
+    df = stages.with_boilerplate_frac(src, default_config())
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan  # totals join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for py_stage in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert py_stage not in plan, py_stage
+
+
 def test_prebucketed_path_salts_and_scores_in_place(spark, files_parquet):
     """Production shape: input already bucket(repo)-partitioned -> explicit
     bucketize with hot-repo salting, scoring before the dedup window."""
