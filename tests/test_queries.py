@@ -88,6 +88,26 @@ def test_rows_only_queries_run(spark, name):
     assert len(df.schema.fields) > 0
 
 
+def test_queries_order_puts_unevidenced_first():
+    """The driver harness records at most 50 queries per round (BASELINE.md
+    'Driver harness observations'), so the 10 entries with no driver
+    CORRECTNESS row after r1+r2 MUST stay first in queries() — guard the
+    dict insertion order against accidental reshuffles."""
+    first10 = list(entrymod.queries())[:10]
+    assert first10 == [
+        "struct_udf_stats",
+        "arrow_byte_stats",
+        "pipeline_documents",
+        "minhash_lsh_pairs",
+        "simhash_buckets",
+        "ann_lsh_cosine",
+        "ann_ivf_cosine",
+        "multimodal_features",
+        "multimodal_resize",
+        "multimodal_frame_sample",
+    ], first10
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
