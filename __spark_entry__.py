@@ -56,6 +56,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": QM.q_multimodal_features,
         "multimodal_resize": QM.q_multimodal_resize,
         "multimodal_frame_sample": QM.q_multimodal_frame_sample,
+        # new in r3 (no driver evidence yet — stays in the first 50)
+        "dedup_clusters": QT.q_dedup_clusters,
         # relational core (star schema)
         "pricing_summary": Q.q_pricing_summary,
         "top_revenue_orders": Q.q_top_revenue_orders,
@@ -153,6 +155,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": QT.SQL_FINGERPRINT,
         "dedup_exact_docs": QT.SQL_DEDUP_EXACT,
         "ngram_jaccard_pairs": QT.SQL_NGRAM_JACCARD,
+        "dedup_clusters": QT.SQL_DEDUP_CLUSTERS,
         "boilerplate_tokens": QT.SQL_BOILERPLATE,
         "boilerplate_scalable": QT.SQL_BOILERPLATE,
         "trimmed_mean_grouped_agg": Q.SQL_TRIMMED_MEAN,

@@ -304,6 +304,120 @@ WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup CLUSTERING — the step every near-dup pipeline needs after
+    pair generation: connected components over the ngram-Jaccard>=0.8
+    pair graph, each doc labeled with its component's minimum doc_id
+    (the canonical representative to keep) plus the cluster size.
+
+    Spark realization: iterative min-label propagation WITH pointer
+    jumping (lbl <- min(lbl, min over neighbors' lbl, lbl(lbl))), the
+    standard O(log n)-round distributed connected-components scheme —
+    each round is one join + one groupBy on high-cardinality keys, state
+    is one (vertex, label) row per vertex, and `localCheckpoint`
+    truncates the growing lineage each round (prod would use a reliable
+    checkpoint dir). Driver-side loop carries only the CHANGED count per
+    round (O(1)), never vertex data. Non-SQL-iterative engines can't
+    express this declaratively; DuckDB's recursive CTE can — so unlike
+    the sketch ops this one has a full value-hash oracle
+    (SQL_DEDUP_CLUSTERS)."""
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2")
+    edges = pairs.union(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    )  # symmetric: propagate along d1 -> d2
+    labels = (
+        edges.select(F.col("d1").alias("v"))
+        .distinct()
+        .withColumn("lbl", F.col("v"))
+        .localCheckpoint()
+    )
+    for _ in range(20):  # min-prop + pointer jump: converges in O(log n)
+        nbr = (
+            edges.join(labels, edges["d1"] == labels["v"])
+            .groupBy(F.col("d2").alias("nv"))
+            .agg(F.min("lbl").alias("nbr_min"))
+        )
+        prop = labels.join(nbr, labels["v"] == nbr["nv"], "left").select(
+            "v",
+            F.least(F.col("lbl"), F.coalesce("nbr_min", "lbl")).alias("lbl"),
+        )
+        jump = prop.select(
+            F.col("v").alias("jv"), F.col("lbl").alias("jlbl")
+        )
+        nxt = (
+            prop.join(jump, prop["lbl"] == jump["jv"], "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("lbl"), F.coalesce("jlbl", F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        old = labels.select("v", F.col("lbl").alias("old_lbl"))
+        changed = (
+            nxt.join(old, "v").filter(F.col("lbl") != F.col("old_lbl")).count()
+        )
+        labels = nxt
+        if changed == 0:
+            break
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "lbl")
+        .select(
+            F.col("v").alias("doc_id"),
+            F.col("lbl").alias("cluster_rep"),
+            "cluster_size",
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_DEDUP_CLUSTERS = r"""
+WITH RECURSIVE grams_all AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, len(regexp_split_to_array(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '))),
+             i -> regexp_split_to_array(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')[i]
+                  || ' ' ||
+                  regexp_split_to_array(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')[i+1]
+           )) AS gram
+    FROM documents
+  )
+), grams AS (
+  SELECT doc_id, gram FROM grams_all
+  WHERE gram IN (SELECT gram FROM grams_all GROUP BY gram HAVING COUNT(*) <= 50)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT d1, d2 FROM inter
+  JOIN sizes sa ON sa.doc_id = d1
+  JOIN sizes sb ON sb.doc_id = d2
+  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8
+), edges AS (
+  SELECT d1 AS s, d2 AS t FROM pairs UNION ALL SELECT d2, d1 FROM pairs
+), verts AS (
+  SELECT DISTINCT s AS v FROM edges
+), reach AS (
+  SELECT v, v AS r FROM verts
+  UNION
+  SELECT e.t AS v, reach.r FROM reach JOIN edges e ON e.s = reach.v
+), mins AS (
+  SELECT v AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY v
+), cnt AS (
+  SELECT cluster_rep, COUNT(*) AS cluster_size FROM mins GROUP BY cluster_rep
+)
+SELECT m.doc_id, m.cluster_rep, c.cluster_size
+FROM mins m JOIN cnt c ON m.cluster_rep = c.cluster_rep
+ORDER BY m.doc_id
+"""
+
+
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array higher-order functions over embeddings: L2 norm via
     aggregate(zip) — JVM-side, no Python (§2.3 array family)."""
