@@ -58,6 +58,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": QM.q_multimodal_frame_sample,
         # new in r3 (no driver evidence yet — stays in the first 50)
         "dedup_clusters": QT.q_dedup_clusters,
+        "train_val_split": QT.q_train_val_split,
+        "sequence_packing": QT.q_sequence_packing,
         # relational core (star schema)
         "pricing_summary": Q.q_pricing_summary,
         "top_revenue_orders": Q.q_top_revenue_orders,
@@ -156,6 +158,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": QT.SQL_DEDUP_EXACT,
         "ngram_jaccard_pairs": QT.SQL_NGRAM_JACCARD,
         "dedup_clusters": QT.SQL_DEDUP_CLUSTERS,
+        "train_val_split": QT.SQL_TRAIN_VAL_SPLIT,
+        "sequence_packing": QT.SQL_SEQUENCE_PACKING,
         "boilerplate_tokens": QT.SQL_BOILERPLATE,
         "boilerplate_scalable": QT.SQL_BOILERPLATE,
         "trimmed_mean_grouped_agg": Q.SQL_TRIMMED_MEAN,

@@ -418,6 +418,92 @@ ORDER BY m.doc_id
 """
 
 
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val split — the assignment step a
+    training-data pipeline runs after filtering: each doc's split is a
+    pure function of its id (md5, engine-portable), so any re-run, any
+    engine, and any subset of the corpus assigns identically (no
+    coordination, no sampling state). val <=> first md5 hex byte <
+    0x0d (13/256 ~ 5.08%); hex-string comparison is identical in Spark
+    and DuckDB, no integer conversion needed. Reported per source so the
+    oracle checks both the counts and the rate."""
+    docs = load(spark, sf_dir, "documents").select("source", "doc_id")
+    h = F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+    is_val = (F.substring(h, 1, 2) < F.lit("0d")).cast("long")
+    return (
+        docs.withColumn("iv", is_val)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("iv").alias("n_val"),
+            F.round(F.avg(F.col("iv").cast("double")), 4).alias("val_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_TRAIN_VAL_SPLIT = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+       ROUND(AVG(CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
+                      THEN 1.0 ELSE 0.0 END), 4) AS val_frac
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the batch-construction op of an LLM training
+    pipeline: documents are packed in doc_id order into fixed token-budget
+    bins (BUDGET=2048 whitespace tokens), each doc assigned to the bin its
+    EXCLUSIVE running token sum starts in (sequential packer). Packing is
+    per-source (Window.partitionBy(source)) so the sort is distributed —
+    one window shuffle keyed by source, never a global single-partition
+    sort; at corpus scale `source` is the shard key. Token count reuses
+    the q_token_count pin (whitespace split of trimmed text)."""
+    budget = 2048
+    docs = load(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    toks = F.size(F.split(F.trim(F.col("text")), "\\s+"))
+    d = docs.select("source", "doc_id", toks.cast("long").alias("n_tok"))
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    binned = d.withColumn(
+        "bin", F.floor(cum_excl / F.lit(float(budget))).cast("bigint")
+    )
+    return (
+        binned.groupBy("source", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("tot_tokens"),
+        )
+        .orderBy("source", "bin")
+    )
+
+
+SQL_SEQUENCE_PACKING = r"""
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+  FROM documents
+), c AS (
+  SELECT source, doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+  FROM t
+)
+SELECT source,
+       CAST(FLOOR(cum_excl / 2048.0) AS BIGINT) AS bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS tot_tokens
+FROM c GROUP BY source, bin ORDER BY source, bin
+"""
+
+
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array higher-order functions over embeddings: L2 norm via
     aggregate(zip) — JVM-side, no Python (§2.3 array family)."""
