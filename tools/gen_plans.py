@@ -19,6 +19,8 @@ QUERIES = (
     "minhash_lsh_pairs",
     "dedup_exact_docs",
     "boilerplate_scalable",
+    "sequence_packing",
+    "train_val_split",
 )
 
 
