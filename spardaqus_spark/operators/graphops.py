@@ -1,0 +1,78 @@
+"""Iterative graph operators (SURVEY.md §2.10 'dedup clustering').
+
+One op lives here: distributed connected components via min-label
+propagation with pointer jumping — the clustering step after near-dup
+pair generation (minhash/LSH emits PAIRS; a dedup pipeline keeps ONE
+representative per component, so components are the actual deliverable).
+
+Scale shape: state is one (vertex, label) row per vertex; each round is
+one join + one groupBy on high-cardinality keys plus a label-to-label
+jump join; `localCheckpoint` truncates lineage every round so the plan
+never grows (prod would use a reliable checkpoint dir). The driver loop
+carries only the per-round CHANGED count (O(1)); pointer jumping makes
+convergence O(log n) rounds even on path graphs, where plain propagation
+needs O(diameter).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame
+
+
+def connected_components(
+    pairs: "DataFrame",
+    src: str = "d1",
+    dst: str = "d2",
+    max_iters: int = 30,
+) -> "DataFrame":
+    """(src, dst) undirected edge list -> (v, lbl): every vertex labeled
+    with its component's minimum vertex id. Deterministic; isolated
+    vertices (absent from `pairs`) are not emitted.
+
+    Raises RuntimeError if not converged within max_iters — with pointer
+    jumping that bounds component diameter at ~2^max_iters, so 30 covers
+    any physical graph; hitting it means a logic bug, not a data shape.
+    """
+    edges = pairs.select(
+        F.col(src).alias("s"), F.col(dst).alias("t")
+    ).union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("t")))
+    labels = (
+        edges.select(F.col("s").alias("v"))
+        .distinct()
+        .withColumn("lbl", F.col("v"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges["s"] == labels["v"])
+            .groupBy(F.col("t").alias("nv"))
+            .agg(F.min("lbl").alias("nbr_min"))
+        )
+        prop = labels.join(nbr, labels["v"] == nbr["nv"], "left").select(
+            "v",
+            F.least(F.col("lbl"), F.coalesce("nbr_min", "lbl")).alias("lbl"),
+        )
+        jump = prop.select(F.col("v").alias("jv"), F.col("lbl").alias("jlbl"))
+        nxt = (
+            prop.join(jump, prop["lbl"] == jump["jv"], "left")
+            .select(
+                "v",
+                F.least(F.col("lbl"), F.coalesce("jlbl", F.col("lbl"))).alias(
+                    "lbl"
+                ),
+            )
+            .localCheckpoint()
+        )
+        old = labels.select("v", F.col("lbl").alias("old_lbl"))
+        changed = (
+            nxt.join(old, "v").filter(F.col("lbl") != F.col("old_lbl")).count()
+        )
+        labels = nxt
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components: no fixpoint in {max_iters} rounds")

@@ -310,57 +310,18 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair graph, each doc labeled with its component's minimum doc_id
     (the canonical representative to keep) plus the cluster size.
 
-    Spark realization: iterative min-label propagation WITH pointer
-    jumping (lbl <- min(lbl, min over neighbors' lbl, lbl(lbl))), the
-    standard O(log n)-round distributed connected-components scheme —
-    each round is one join + one groupBy on high-cardinality keys, state
-    is one (vertex, label) row per vertex, and `localCheckpoint`
-    truncates the growing lineage each round (prod would use a reliable
-    checkpoint dir). Driver-side loop carries only the CHANGED count per
-    round (O(1)), never vertex data. Non-SQL-iterative engines can't
+    Spark realization: `operators.graphops.connected_components` —
+    iterative min-label propagation WITH pointer jumping (O(log n)
+    rounds, one join + one groupBy per round, localCheckpoint lineage
+    truncation, O(1) driver state; property-tested on chains / stars /
+    cliques in tests/test_graphops.py). Non-SQL-iterative engines can't
     express this declaratively; DuckDB's recursive CTE can — so unlike
     the sketch ops this one has a full value-hash oracle
     (SQL_DEDUP_CLUSTERS)."""
+    from .operators.graphops import connected_components
+
     pairs = q_ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2")
-    edges = pairs.union(
-        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
-    )  # symmetric: propagate along d1 -> d2
-    labels = (
-        edges.select(F.col("d1").alias("v"))
-        .distinct()
-        .withColumn("lbl", F.col("v"))
-        .localCheckpoint()
-    )
-    for _ in range(20):  # min-prop + pointer jump: converges in O(log n)
-        nbr = (
-            edges.join(labels, edges["d1"] == labels["v"])
-            .groupBy(F.col("d2").alias("nv"))
-            .agg(F.min("lbl").alias("nbr_min"))
-        )
-        prop = labels.join(nbr, labels["v"] == nbr["nv"], "left").select(
-            "v",
-            F.least(F.col("lbl"), F.coalesce("nbr_min", "lbl")).alias("lbl"),
-        )
-        jump = prop.select(
-            F.col("v").alias("jv"), F.col("lbl").alias("jlbl")
-        )
-        nxt = (
-            prop.join(jump, prop["lbl"] == jump["jv"], "left")
-            .select(
-                "v",
-                F.least(
-                    F.col("lbl"), F.coalesce("jlbl", F.col("lbl"))
-                ).alias("lbl"),
-            )
-            .localCheckpoint()
-        )
-        old = labels.select("v", F.col("lbl").alias("old_lbl"))
-        changed = (
-            nxt.join(old, "v").filter(F.col("lbl") != F.col("old_lbl")).count()
-        )
-        labels = nxt
-        if changed == 0:
-            break
+    labels = connected_components(pairs)
     sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
     return (
         labels.join(sizes, "lbl")

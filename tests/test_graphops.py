@@ -1,0 +1,76 @@
+"""connected_components (operators/graphops.py) against a pure-python
+union-find on adversarial shapes — the SQL-oracle check in test_queries
+covers the real corpus (clusters of size <= 3); these cover the shapes
+that stress the ALGORITHM: long chains (diameter >> 1, where plain
+propagation without pointer jumping would need O(diameter) rounds),
+stars, disjoint cliques, and a random graph."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from spardaqus_spark.operators.graphops import connected_components
+
+
+def _union_find(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # label = min id of component
+    return {v: find(v) for v in parent}
+
+
+def _check(spark, edges: list[tuple[int, int]]) -> None:
+    df = spark.createDataFrame(edges, "d1 bigint, d2 bigint")
+    got = {
+        (r["v"], r["lbl"]) for r in connected_components(df).collect()
+    }
+    exp = set(_union_find(edges).items())
+    assert got == exp
+
+
+def test_long_chain(spark):
+    # path graph 0-1-2-...-40: diameter 40; pointer jumping must converge
+    # well under the 30-round cap (plain propagation would need 40)
+    _check(spark, [(i, i + 1) for i in range(40)])
+
+
+def test_star_and_cliques(spark):
+    star = [(100, 100 + i) for i in range(1, 8)]
+    clique_a = [(i, j) for i in range(10, 14) for j in range(i + 1, 14)]
+    clique_b = [(i, j) for i in range(20, 23) for j in range(i + 1, 23)]
+    _check(spark, star + clique_a + clique_b)
+
+
+def test_random_graph_matches_union_find(spark):
+    rng = random.Random(42)
+    edges = [
+        (rng.randrange(60), rng.randrange(60)) for _ in range(80)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    _check(spark, edges)
+
+
+def test_empty_edges(spark):
+    df = spark.createDataFrame([], "d1 bigint, d2 bigint")
+    assert connected_components(df).count() == 0
+
+
+def test_nonconvergence_guard(spark):
+    with pytest.raises(RuntimeError):
+        connected_components(
+            spark.createDataFrame([(i, i + 1) for i in range(40)], "d1 bigint, d2 bigint"),
+            max_iters=1,
+        )
