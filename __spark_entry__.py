@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": QM.q_multimodal_frame_sample,
         # new in r3 (no driver evidence yet — stays in the first 50)
         "dedup_clusters": QT.q_dedup_clusters,
+        "near_dedup_keep": QT.q_near_dedup_keep,
         "train_val_split": QT.q_train_val_split,
         "sequence_packing": QT.q_sequence_packing,
         # relational core (star schema)
@@ -158,6 +159,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": QT.SQL_DEDUP_EXACT,
         "ngram_jaccard_pairs": QT.SQL_NGRAM_JACCARD,
         "dedup_clusters": QT.SQL_DEDUP_CLUSTERS,
+        "near_dedup_keep": QT.SQL_NEAR_DEDUP_KEEP,
         "train_val_split": QT.SQL_TRAIN_VAL_SPLIT,
         "sequence_packing": QT.SQL_SEQUENCE_PACKING,
         "boilerplate_tokens": QT.SQL_BOILERPLATE,

@@ -379,6 +379,30 @@ ORDER BY m.doc_id
 """
 
 
+def q_near_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup REMOVAL: the corpus keep-list after dropping
+    every near-dup cluster member except its canonical representative
+    (min doc_id) — pairs -> components -> anti-join, i.e. the complete
+    near-dedup operator a training pipeline actually applies. Singletons
+    (docs in no >=0.8-Jaccard pair) are kept by construction."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    clusters = q_dedup_clusters(spark, sf_dir)
+    losers = clusters.filter(
+        F.col("doc_id") != F.col("cluster_rep")
+    ).select("doc_id")
+    return docs.join(losers, "doc_id", "left_anti").orderBy("doc_id")
+
+
+SQL_NEAR_DEDUP_KEEP = (
+    SQL_DEDUP_CLUSTERS.rsplit("SELECT m.doc_id", 1)[0]
+    + """SELECT d.doc_id
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM mins WHERE doc_id <> cluster_rep)
+ORDER BY d.doc_id
+"""
+)
+
+
 def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based train/val split — the assignment step a
     training-data pipeline runs after filtering: each doc's split is a

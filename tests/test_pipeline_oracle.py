@@ -117,6 +117,26 @@ def test_planted_strata_behavior(golden, corpus_pdf):
         assert rows["rule_hits"].map(lambda h: rule in h).all(), stratum
 
 
+def test_boilerplate_config_yaml_roundtrip(tmp_path):
+    """The r3 config keys must survive the YAML loader (load_config wiring
+    is separate code from the dataclass defaults)."""
+    from spardaqus_spark.config import load_config
+
+    y = tmp_path / "p.yaml"
+    y.write_text(
+        "rules:\n"
+        "  - {name: bp, metric: boilerplate_frac, op: '>', threshold: 0.5, action: drop}\n"
+        "boilerplate_frac_enabled: true\n"
+        "boilerplate_doc_frac: 0.7\n"
+        "boilerplate_min_files: 3\n"
+    )
+    cfg = load_config(y)
+    assert cfg.boilerplate_frac_enabled is True
+    assert cfg.boilerplate_doc_frac == 0.7
+    assert cfg.boilerplate_min_files == 3
+    assert cfg.rules[0].metric == "boilerplate_frac"
+
+
 def test_boilerplate_stage_matches_oracle(spark, corpus_sdf, corpus_pdf):
     """VERDICT r02 #7: the opt-in cross-file boilerplate stage. With
     boilerplate_frac_enabled and a rule over the new metric, the Spark
