@@ -38,9 +38,17 @@ def connected_components(
     jumping that bounds component diameter at ~2^max_iters, so 30 covers
     any physical graph; hitting it means a logic bug, not a data shape.
     """
-    edges = pairs.select(
-        F.col(src).alias("s"), F.col(dst).alias("t")
-    ).union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("t")))
+    # materialize the edge list ONCE: the caller's pair generation can be
+    # an expensive self-join (ngram/minhash), and every round re-reads
+    # edges — without this checkpoint each of the O(log n) rounds would
+    # re-execute the whole upstream plan (code-review r3). Per-round
+    # labels blocks from superseded rounds are reclaimed asynchronously by
+    # Spark's ContextCleaner once the driver references drop.
+    edges = (
+        pairs.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("t")))
+        .localCheckpoint()
+    )
     labels = (
         edges.select(F.col("s").alias("v"))
         .distinct()

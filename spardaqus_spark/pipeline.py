@@ -148,14 +148,34 @@ def run(
             .partitionBy("bucket")
             .parquet(out_path)
         )
-        per_bucket = clean.groupBy("bucket").agg(F.count("*").alias("n")).collect()
-        seen = {int(r["bucket"]): int(r["n"]) for r in per_bucket}
+        # buckets that were processed this attempt (incl. zero-kept ones)
+        processed = {
+            int(r["bucket"]) for r in v.select("bucket").distinct().collect()
+        }
+        # TRULY observed committed counts: count the SINK after the write
+        # job commits (code-review r3 on VERDICT r02 #3 — recounting the
+        # persisted pre-write frame would make files_in == files_out by
+        # construction and could never catch a write-side loss). Reading
+        # back is a column-less, partition-pruned scan of this attempt's
+        # bucket dirs only; resume-committed buckets are pruned by the
+        # isin filter.
+        if any(Path(out_path).glob("bucket=*")):
+            per_bucket = (
+                v.sparkSession.read.parquet(out_path)
+                .filter(F.col("bucket").isin(sorted(processed)))
+                .groupBy("bucket")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            )
+            seen = {int(r["bucket"]): int(r["n"]) for r in per_bucket}
+        else:  # nothing kept anywhere: no partition dirs exist
+            seen = {}
         # per-stage lineage ([B:6] "every stage"): dedup/score/verdict/
         # scrub/write rows, bucket-partitioned so the orphan sweep covers
         # the lineage sink with the same manifest check as the data sink.
-        # The write stage's files_out is the OBSERVED post-write count per
-        # bucket (`seen` — the same numbers the manifests commit), not the
-        # derived n_keep, so a write-side failure shows up as a
+        # The write stage's files_out is the sink-observed count per bucket
+        # (`seen`, read back from the written parquet — the same numbers
+        # the manifests commit), so a write-side loss shows up as a
         # files_in/files_out mismatch (VERDICT r02 #3). lineage is tiny
         # (<= partitions x buckets x 5 rows) — coalesce(1) so the
         # bucket-partitioned write emits one file per bucket dir, not one
@@ -164,10 +184,6 @@ def run(
             v, run_id, write_counts=seen
         ).coalesce(1)
         lineage_df.write.mode("append").partitionBy("bucket").parquet(lineage_path)
-        # buckets that were processed but produced zero kept rows still commit
-        processed = {
-            int(r["bucket"]) for r in v.select("bucket").distinct().collect()
-        }
         clean.unpersist()
     finally:
         v.unpersist()

@@ -47,7 +47,13 @@ FROM documents GROUP BY lang
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace tokenization + counts per source (token-counting op)."""
+    """Whitespace tokenization + counts per source (token-counting op).
+
+    Tokenizer note: this r1-pinned query splits on \\s in BOTH engines;
+    Java \\s and RE2 \\s agree on everything except \\x0b (vertical tab),
+    absent from this corpus — documented ASCII-corpus assumption (ADVICE
+    r02). New queries use the explicit class [ \\t\\n\\r\\f\\x0b]+
+    instead (q_boilerplate_tokens, q_sequence_packing)."""
     docs = load(spark, sf_dir, "documents")
     toks = F.size(F.split(F.trim(F.col("text")), "\\s+"))
     return (
@@ -213,6 +219,7 @@ SELECT lang, COUNT(*) AS n_unique_docs FROM (
 """
 
 
+NEAR_DUP_TAU = 0.8  # near-dup pair threshold on the UNROUNDED Jaccard ratio
 MAX_GRAM_DF = 50  # stop-gram cutoff: shingles in more docs carry no
 # near-dup signal but quadratic join fan-out (df^2 rows per gram) — the
 # standard candidate-pruning move in shingle-based dedup. Applied to the
@@ -268,13 +275,19 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "raw_j", F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter"))
         )
-        .filter(F.col("raw_j") >= 0.8)  # threshold on the UNROUNDED ratio,
+        .filter(F.col("raw_j") >= NEAR_DUP_TAU)  # threshold on the UNROUNDED ratio,
         .select("d1", "d2", F.round("raw_j", 4).alias("jaccard"))  # like the SQL
     )
 
 
-SQL_NGRAM_JACCARD = r"""
-WITH grams_all AS (
+# Single source for the shared ngram-pair CTE chain: SQL_NGRAM_JACCARD,
+# SQL_DEDUP_CLUSTERS and SQL_NEAR_DEDUP_KEEP are all BUILT from these
+# fragments with MAX_GRAM_DF / NEAR_DUP_TAU interpolated, mirroring how
+# the Spark side composes (q_dedup_clusters calls q_ngram_jaccard_pairs)
+# — a re-pin of the threshold or tokenization updates every oracle at
+# once (code-review r3: the r3-initial hand-duplicated copies would have
+# gone silently stale on any re-pin).
+_NGRAM_CTES = rf"""grams_all AS (
   SELECT DISTINCT doc_id, gram FROM (
     SELECT doc_id,
            unnest(list_transform(
@@ -287,20 +300,23 @@ WITH grams_all AS (
   )
 ), grams AS (
   SELECT doc_id, gram FROM grams_all
-  WHERE gram IN (SELECT gram FROM grams_all GROUP BY gram HAVING COUNT(*) <= 50)
+  WHERE gram IN (SELECT gram FROM grams_all GROUP BY gram HAVING COUNT(*) <= {MAX_GRAM_DF})
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
 ), inter AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
   FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
-)
+)"""
+
+SQL_NGRAM_JACCARD = rf"""
+WITH {_NGRAM_CTES}
 SELECT d1, d2,
        ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc_id = d1
 JOIN sizes sb ON sb.doc_id = d2
-WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {NEAR_DUP_TAU}
 """
 
 
@@ -334,32 +350,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_DEDUP_CLUSTERS = r"""
-WITH RECURSIVE grams_all AS (
-  SELECT DISTINCT doc_id, gram FROM (
-    SELECT doc_id,
-           unnest(list_transform(
-             range(1, len(regexp_split_to_array(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '))),
-             i -> regexp_split_to_array(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')[i]
-                  || ' ' ||
-                  regexp_split_to_array(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')[i+1]
-           )) AS gram
-    FROM documents
-  )
-), grams AS (
-  SELECT doc_id, gram FROM grams_all
-  WHERE gram IN (SELECT gram FROM grams_all GROUP BY gram HAVING COUNT(*) <= 50)
-), sizes AS (
-  SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
-), inter AS (
-  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
-), pairs AS (
+# graph CTEs shared by SQL_DEDUP_CLUSTERS and SQL_NEAR_DEDUP_KEEP:
+# pairs -> symmetric edges -> transitive reach -> per-doc component min
+_COMPONENT_CTES = rf"""{_NGRAM_CTES}, pairs AS (
   SELECT d1, d2 FROM inter
   JOIN sizes sa ON sa.doc_id = d1
   JOIN sizes sb ON sb.doc_id = d2
-  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8
+  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {NEAR_DUP_TAU}
 ), edges AS (
   SELECT d1 AS s, d2 AS t FROM pairs UNION ALL SELECT d2, d1 FROM pairs
 ), verts AS (
@@ -370,7 +367,10 @@ WITH RECURSIVE grams_all AS (
   SELECT e.t AS v, reach.r FROM reach JOIN edges e ON e.s = reach.v
 ), mins AS (
   SELECT v AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY v
-), cnt AS (
+)"""
+
+SQL_DEDUP_CLUSTERS = rf"""
+WITH RECURSIVE {_COMPONENT_CTES}, cnt AS (
   SELECT cluster_rep, COUNT(*) AS cluster_size FROM mins GROUP BY cluster_rep
 )
 SELECT m.doc_id, m.cluster_rep, c.cluster_size
@@ -393,14 +393,13 @@ def q_near_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(losers, "doc_id", "left_anti").orderBy("doc_id")
 
 
-SQL_NEAR_DEDUP_KEEP = (
-    SQL_DEDUP_CLUSTERS.rsplit("SELECT m.doc_id", 1)[0]
-    + """SELECT d.doc_id
+SQL_NEAR_DEDUP_KEEP = rf"""
+WITH RECURSIVE {_COMPONENT_CTES}
+SELECT d.doc_id
 FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM mins WHERE doc_id <> cluster_rep)
 ORDER BY d.doc_id
 """
-)
 
 
 def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -445,11 +444,14 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXCLUSIVE running token sum starts in (sequential packer). Packing is
     per-source (Window.partitionBy(source)) so the sort is distributed —
     one window shuffle keyed by source, never a global single-partition
-    sort; at corpus scale `source` is the shard key. Token count reuses
-    the q_token_count pin (whitespace split of trimmed text)."""
+    sort; at corpus scale `source` is the shard key. Tokenizer: EXPLICIT
+    ASCII whitespace class (the boilerplate pin, SURVEY §2.9.17) — NOT
+    q_token_count's legacy \\s, because Java \\s and RE2 \\s disagree on
+    \\x0b and a one-token drift here shifts every downstream bin
+    (code-review r3)."""
     budget = 2048
     docs = load(spark, sf_dir, "documents").select("source", "doc_id", "text")
-    toks = F.size(F.split(F.trim(F.col("text")), "\\s+"))
+    toks = F.size(F.split(F.trim(F.col("text")), "[ \\t\\n\\r\\f\\x0B]+"))
     d = docs.select("source", "doc_id", toks.cast("long").alias("n_tok"))
     w = (
         W.partitionBy("source")
@@ -473,7 +475,7 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SEQUENCE_PACKING = r"""
 WITH t AS (
   SELECT source, doc_id,
-         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+         CAST(len(regexp_split_to_array(trim(text), '[ \t\n\r\f\x0B]+')) AS BIGINT) AS n_tok
   FROM documents
 ), c AS (
   SELECT source, doc_id, n_tok,
