@@ -287,7 +287,11 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # — a re-pin of the threshold or tokenization updates every oracle at
 # once (code-review r3: the r3-initial hand-duplicated copies would have
 # gone silently stale on any re-pin).
-_NGRAM_CTES = rf"""grams_all AS (
+# NOTE: built via @PLACEHOLDER .replace(), NOT f-strings — a future regex
+# re-pin with a bounded quantifier like \s{2,} inside an f-string would be
+# silently interpolated as a Python expression ({2,} -> "(2,)") and corrupt
+# all three derived oracles at once (code-review r3).
+_NGRAM_CTES = r"""grams_all AS (
   SELECT DISTINCT doc_id, gram FROM (
     SELECT doc_id,
            unnest(list_transform(
@@ -300,24 +304,24 @@ _NGRAM_CTES = rf"""grams_all AS (
   )
 ), grams AS (
   SELECT doc_id, gram FROM grams_all
-  WHERE gram IN (SELECT gram FROM grams_all GROUP BY gram HAVING COUNT(*) <= {MAX_GRAM_DF})
+  WHERE gram IN (SELECT gram FROM grams_all GROUP BY gram HAVING COUNT(*) <= @MAX_GRAM_DF)
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
 ), inter AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
   FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
-)"""
+)""".replace("@MAX_GRAM_DF", str(MAX_GRAM_DF))
 
-SQL_NGRAM_JACCARD = rf"""
-WITH {_NGRAM_CTES}
+SQL_NGRAM_JACCARD = r"""
+WITH @CTES
 SELECT d1, d2,
        ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc_id = d1
 JOIN sizes sb ON sb.doc_id = d2
-WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {NEAR_DUP_TAU}
-"""
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= @TAU
+""".replace("@CTES", _NGRAM_CTES).replace("@TAU", str(NEAR_DUP_TAU))
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -352,11 +356,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # graph CTEs shared by SQL_DEDUP_CLUSTERS and SQL_NEAR_DEDUP_KEEP:
 # pairs -> symmetric edges -> transitive reach -> per-doc component min
-_COMPONENT_CTES = rf"""{_NGRAM_CTES}, pairs AS (
+_COMPONENT_CTES = r"""@CTES, pairs AS (
   SELECT d1, d2 FROM inter
   JOIN sizes sa ON sa.doc_id = d1
   JOIN sizes sb ON sb.doc_id = d2
-  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {NEAR_DUP_TAU}
+  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= @TAU
 ), edges AS (
   SELECT d1 AS s, d2 AS t FROM pairs UNION ALL SELECT d2, d1 FROM pairs
 ), verts AS (
@@ -367,16 +371,16 @@ _COMPONENT_CTES = rf"""{_NGRAM_CTES}, pairs AS (
   SELECT e.t AS v, reach.r FROM reach JOIN edges e ON e.s = reach.v
 ), mins AS (
   SELECT v AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY v
-)"""
+)""".replace("@CTES", _NGRAM_CTES).replace("@TAU", str(NEAR_DUP_TAU))
 
-SQL_DEDUP_CLUSTERS = rf"""
-WITH RECURSIVE {_COMPONENT_CTES}, cnt AS (
+SQL_DEDUP_CLUSTERS = r"""
+WITH RECURSIVE @COMPONENTS, cnt AS (
   SELECT cluster_rep, COUNT(*) AS cluster_size FROM mins GROUP BY cluster_rep
 )
 SELECT m.doc_id, m.cluster_rep, c.cluster_size
 FROM mins m JOIN cnt c ON m.cluster_rep = c.cluster_rep
 ORDER BY m.doc_id
-"""
+""".replace("@COMPONENTS", _COMPONENT_CTES)
 
 
 def q_near_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -393,13 +397,13 @@ def q_near_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(losers, "doc_id", "left_anti").orderBy("doc_id")
 
 
-SQL_NEAR_DEDUP_KEEP = rf"""
-WITH RECURSIVE {_COMPONENT_CTES}
+SQL_NEAR_DEDUP_KEEP = r"""
+WITH RECURSIVE @COMPONENTS
 SELECT d.doc_id
 FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM mins WHERE doc_id <> cluster_rep)
 ORDER BY d.doc_id
-"""
+""".replace("@COMPONENTS", _COMPONENT_CTES)
 
 
 def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
