@@ -116,6 +116,43 @@ def test_write_lineage_matches_manifests(spark, corpus_sdf, tmp_path):
     assert (lin["files_in"].astype(int) == lin["files_out"].astype(int)).all()
 
 
+def test_write_lineage_surfaces_loss(spark, corpus_sdf):
+    """The point of sink-observed write counts (code-review r3): if the
+    write job committed FEWER rows than entered it, the write-stage
+    lineage row must show files_in != files_out — the detection signal
+    the derived form could never produce. Simulated by feeding
+    collect_lineage_all_stages observed counts one row short (the counts
+    come from the sink read-back in pipeline.run, the only caller)."""
+    from pyspark.sql import functions as F
+
+    from spardaqus_spark import pipeline as pl
+    from spardaqus_spark.plans import lineage as lin
+
+    v = pl.build_verdict_frame(corpus_sdf, CFG)
+    kept = {
+        int(r["bucket"]): int(r["n"])
+        for r in v.filter("keep").groupBy("bucket").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    lost_bucket = max(kept, key=kept.get)
+    observed = dict(kept)
+    observed[lost_bucket] -= 1  # one row never made it to the sink
+    w = (
+        lin.collect_lineage_all_stages(v, "loss", write_counts=observed)
+        .filter(F.col("stage") == "write")
+        .toPandas()
+        .set_index("bucket")
+    )
+    mismatched = w[w["files_in"] != w["files_out"]]
+    assert list(mismatched.index) == [lost_bucket]
+    assert (
+        mismatched.loc[lost_bucket, "files_in"]
+        - mismatched.loc[lost_bucket, "files_out"]
+        == 1
+    )
+
+
 def test_prebucketed_run_end_to_end_matches_default(spark, corpus_sdf, tmp_path):
     """run(prebucketed=True) — the Iceberg bucket(repo) production DAG —
     must land the same kept rows + sha256 as the default dedup-first DAG
