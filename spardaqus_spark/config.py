@@ -66,7 +66,7 @@ class PipelineConfig:
     salt_k: int = 8
     hot_repo_threshold: int = 10_000
     arrow_batch_size: int = 512
-    # cross-file boilerplate metric (SURVEY §2.9.16, r3): when enabled, a
+    # cross-file boilerplate metric (SURVEY §2.9.17, r3): when enabled, a
     # per-file `boilerplate_frac` column is computed BEFORE scoring — the
     # fraction of the file's token occurrences that are repo-boilerplate
     # (tokens present in >= boilerplate_doc_frac of the repo's files, repos

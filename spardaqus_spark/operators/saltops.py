@@ -49,13 +49,22 @@ _SALT_SEED = 0x5A17  # stable across runs; part of the pinned salt function
 
 
 def _content_salt(df: "DataFrame", k: int):
-    """Deterministic salt: hash of every column + seed, mod k.
+    """Deterministic salt: hash of every HASHABLE column + seed, mod k.
 
     xxhash64 is a Catalyst-deterministic expression, so filter pushdown
     through the salted projection is preserved and task retries re-derive
-    identical salts (see module docstring).
+    identical salts (see module docstring). MapType columns are excluded
+    — Catalyst cannot hash maps (code-review r3); a frame whose only
+    columns are maps cannot be content-salted and raises.
     """
-    return F.pmod(F.xxhash64(*df.columns, F.lit(_SALT_SEED)), F.lit(k))
+    from pyspark.sql.types import MapType
+
+    cols = [f.name for f in df.schema.fields if not isinstance(f.dataType, MapType)]
+    if not cols:
+        raise ValueError(
+            "content salt needs at least one non-map column to hash"
+        )
+    return F.pmod(F.xxhash64(*cols, F.lit(_SALT_SEED)), F.lit(k))
 
 
 def salted_join(

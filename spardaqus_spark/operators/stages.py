@@ -144,7 +144,7 @@ def score_scrub(
     return df.mapInPandas(fn, out_schema)
 
 
-# pinned tokenizer (SURVEY §2.9.16): explicit ASCII whitespace class —
+# pinned tokenizer (SURVEY §2.9.17): explicit ASCII whitespace class —
 # identical across this codegen stage, the oracle's pandas twin
 # (oracle.boilerplate_frac) and the boilerplate queries (queries_text.py)
 BOILERPLATE_WS = "[ \\t\\n\\r\\f\\x0B]+"

@@ -63,13 +63,16 @@ def score(df: pd.DataFrame) -> pd.DataFrame:
 def boilerplate_frac(
     df: pd.DataFrame, doc_frac: float = 0.8, min_files: int = 2
 ) -> pd.Series:
-    """Pandas twin of stages.with_boilerplate_frac (SURVEY §2.9.16):
+    """Pandas twin of stages.with_boilerplate_frac (SURVEY §2.9.17):
     per-file fraction of token occurrences that are repo-boilerplate.
     Pinned identically: lowercase, explicit ASCII whitespace class
     [ \\t\\n\\r\\f\\x0b]+, empty tokens dropped, file = distinct
     (repo, path, commit), repos below min_files contribute none,
     token-less files -> 0.0. int/int double division both engines —
-    bit-identical, no rounding."""
+    bit-identical, no rounding. Input contract: (repo, path, commit) are
+    NON-NULL (the files table's primary key) — pandas groupby drops
+    NaN keys while Spark's groupBy keeps them, so a null key would
+    diverge the twins (code-review r3)."""
     key = ["repo", "path", "commit"]
     toks = (
         df["content"]

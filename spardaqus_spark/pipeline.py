@@ -56,6 +56,12 @@ def build_verdict_frame(
     """
     cfg = cfg or default_config()
     if cfg.boilerplate_frac_enabled:
+        # Hot-repo detection must read the RAW input: it is a narrow
+        # repo-column scan, and running it on the boilerplate-joined frame
+        # would execute the whole token-grain subtree a second time just
+        # to count rows per repo (code-review r3 #1).
+        if prebucketed and hot_repos is None:
+            hot_repos = bk.detect_hot_repos(df, cfg.hot_repo_threshold)
         # opt-in cross-file stage (VERDICT r02 #7): per-repo boilerplate
         # fraction joined on BEFORE scoring so rules can reference it in
         # both verdict compilers. Computed over the RAW input (pre-dedup),

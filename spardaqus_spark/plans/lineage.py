@@ -205,6 +205,10 @@ def collect_lineage_stream(scored_df: "DataFrame", batch_id: int) -> "DataFrame"
       score:   in = batch rows, out = batch rows
       verdict: in = batch rows, out = rule_keep rows
       scrub:   in = kept rows,  out = kept rows
+
+    The caller (streaming.pipeline.score_micro_batch) appends a
+    sink-observed `write` row (files_out counted from the written batch
+    partition) — same detection contract as the batch path.
     """
     from pyspark.sql import functions as F
 

@@ -451,11 +451,17 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort; at corpus scale `source` is the shard key. Tokenizer: EXPLICIT
     ASCII whitespace class (the boilerplate pin, SURVEY §2.9.17) — NOT
     q_token_count's legacy \\s, because Java \\s and RE2 \\s disagree on
-    \\x0b and a one-token drift here shifts every downstream bin
-    (code-review r3)."""
+    \\x0b — and EMPTY tokens removed after the split, because a trailing
+    newline (most real files) or empty text otherwise counts a phantom
+    token and a one-token drift shifts every downstream bin
+    (code-review r3 ×2)."""
     budget = 2048
     docs = load(spark, sf_dir, "documents").select("source", "doc_id", "text")
-    toks = F.size(F.split(F.trim(F.col("text")), "[ \\t\\n\\r\\f\\x0B]+"))
+    toks = F.size(
+        F.array_remove(
+            F.split(F.col("text"), "[ \\t\\n\\r\\f\\x0B]+"), ""
+        )
+    )
     d = docs.select("source", "doc_id", toks.cast("long").alias("n_tok"))
     w = (
         W.partitionBy("source")
@@ -479,7 +485,8 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SEQUENCE_PACKING = r"""
 WITH t AS (
   SELECT source, doc_id,
-         CAST(len(regexp_split_to_array(trim(text), '[ \t\n\r\f\x0B]+')) AS BIGINT) AS n_tok
+         CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\r\f\x0B]+'),
+                              x -> x <> '')) AS BIGINT) AS n_tok
   FROM documents
 ), c AS (
   SELECT source, doc_id, n_tok,

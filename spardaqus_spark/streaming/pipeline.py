@@ -63,8 +63,28 @@ def score_micro_batch(batch_df: "DataFrame", batch_id: int, cfg: PipelineConfig,
             .partitionBy("batch_id")
             .parquet(out_dir)
         )
+        # sink-observed write stage, same as the batch path (code-review
+        # r3: a derived count could never catch a write-side loss): read
+        # back exactly this batch's partition dir and count what actually
+        # committed. files_in = kept rows that entered the write.
+        from pathlib import Path
+
+        spark = batch_df.sparkSession
+        n_keep = kept.count()
+        bdir = Path(out_dir) / f"batch_id={int(batch_id)}"
+        n_committed = (
+            spark.read.option("basePath", out_dir).parquet(str(bdir)).count()
+            if bdir.exists()
+            else 0
+        )
+        write_row = spark.createDataFrame(
+            [(int(batch_id), "write", -1, n_keep, n_committed)],
+            "batch_id int, stage string, partition_id int, "
+            "files_in bigint, files_out bigint",
+        )
         (
             lin.collect_lineage_stream(scored, batch_id)
+            .unionByName(write_row)
             .coalesce(1)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

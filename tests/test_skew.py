@@ -157,3 +157,25 @@ def test_salted_agg_plan_and_equivalence(spark, skewed_sdf):
         assert a[k_]["cnt"] == b[k_]["cnt"] and a[k_]["total"] == b[k_]["total"]
         assert a[k_]["mx"] == b[k_]["mx"]
         assert abs(a[k_]["avg_n"] - b[k_]["avg_n"]) < 1e-9
+
+
+def test_content_salt_skips_map_columns(spark):
+    """code-review r3: xxhash64 cannot hash MapType — the content salt
+    must exclude map columns (still deterministic over the rest) and
+    raise clearly when nothing hashable remains."""
+    import pytest
+
+    from spardaqus_spark.operators.saltops import salted_agg
+
+    df = spark.createDataFrame(
+        [("r1", 1, {"a": 1}), ("r1", 2, {"b": 2}), ("r2", 3, {"c": 3})],
+        "repo string, n int, meta map<string,int>",
+    )
+    out = salted_agg(df, ["repo"], {"total": ("sum", "n")}, k=4).collect()
+    assert {(r["repo"], r["total"]) for r in out} == {("r1", 3), ("r2", 3)}
+
+    from spardaqus_spark.operators.saltops import _content_salt
+
+    maps_only = df.select("meta")
+    with pytest.raises(ValueError, match="non-map"):
+        _content_salt(maps_only, 4)

@@ -211,6 +211,11 @@ def test_micro_batch_retry_is_idempotent(spark, corpus_pdf, tmp_path):
         assert by_stage.loc["verdict", "files_out"] == kept_rows
         assert by_stage.loc["scrub", "files_in"] == kept_rows
         assert by_stage.loc["scrub", "files_out"] == kept_rows
+        # sink-observed write stage (code-review r3): one sink-grain row
+        # whose files_out is counted from the written batch partition
+        assert by_stage.loc["write", "files_in"] == kept_rows
+        assert by_stage.loc["write", "files_out"] == kept_rows
+        assert (lb[lb["stage"] == "write"]["partition_id"] == -1).all()
 
 
 def test_streaming_update_and_complete_modes(spark, tmp_path):
