@@ -61,6 +61,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dedup_keep": QT.q_near_dedup_keep,
         "train_val_split": QT.q_train_val_split,
         "sequence_packing": QT.q_sequence_packing,
+        "repetition_metrics": QT.q_repetition_metrics,
+        "decontamination": QT.q_decontamination,
+        "mixing_weights": QT.q_mixing_weights,
+        "stratified_sample": QT.q_stratified_sample,
         # relational core (star schema)
         "pricing_summary": Q.q_pricing_summary,
         "top_revenue_orders": Q.q_top_revenue_orders,
@@ -162,6 +166,10 @@ def oracle_sql() -> dict[str, str]:
         "near_dedup_keep": QT.SQL_NEAR_DEDUP_KEEP,
         "train_val_split": QT.SQL_TRAIN_VAL_SPLIT,
         "sequence_packing": QT.SQL_SEQUENCE_PACKING,
+        "repetition_metrics": QT.SQL_REPETITION_METRICS,
+        "decontamination": QT.SQL_DECONTAMINATION,
+        "mixing_weights": QT.SQL_MIXING_WEIGHTS,
+        "stratified_sample": QT.SQL_STRATIFIED_SAMPLE,
         "boilerplate_tokens": QT.SQL_BOILERPLATE,
         "boilerplate_scalable": QT.SQL_BOILERPLATE,
         "trimmed_mean_grouped_agg": Q.SQL_TRIMMED_MEAN,

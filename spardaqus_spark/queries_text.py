@@ -919,3 +919,261 @@ SELECT doc_id,
        len(regexp_extract_all(text, chr(10))) + 1 AS n_lines
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# r3 continuation: four more training-data pipeline ops (task brief / SURVEY
+# §2.10) — repetition filtering, benchmark decontamination, source mixing
+# weights, stratified sampling. All thresholds calibrated NON-VACUOUS against
+# sf0.01 (see each docstring); all tokenizers use the pinned explicit ASCII
+# whitespace class (SURVEY §2.9.17).
+# ---------------------------------------------------------------------------
+
+_ASCII_WS = "[ \\t\\n\\r\\f\\x0B]+"
+
+
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: per-doc duplicate-token fraction
+    (1 - distinct/total) and top-2-gram fraction (most frequent token
+    bigram's share of all bigrams); a doc is flagged when either exceeds
+    its threshold. Thresholds calibrated on sf0.01: dup>0.65 flags 99,
+    top2>0.11 flags 9, union 108 of 500 — non-vacuous both ways.
+
+    Scale: one explode + two hash aggs on (doc_id[, gram]) — map-side
+    partial aggregation applies, no skew (gram cardinality is huge).
+    Floats are single int/int double divisions (bit-identical across
+    engines, no rounding — the boilerplate_frac precedent)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.array_remove(F.split(F.col("text"), _ASCII_WS), "")
+    d = (
+        docs.select("doc_id", toks.alias("toks"))
+        .withColumn("n_tok", F.size("toks").cast("long"))
+    )
+    dup = F.when(
+        F.col("n_tok") > 0,
+        F.lit(1.0) - F.size(F.array_distinct("toks")).cast("double") / F.col("n_tok"),
+    ).otherwise(F.lit(0.0))
+    grams = d.filter(F.col("n_tok") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), (F.col("n_tok") - 1).cast("int")),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+                ),
+            )
+        ).alias("gram"),
+    )
+    c = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("n"))
+    tg = c.groupBy("doc_id").agg(
+        (F.max("n") * F.lit(1.0) / F.sum("n")).alias("t2")
+    )
+    t2 = F.coalesce("t2", F.lit(0.0))
+    return (
+        d.select("doc_id", "n_tok", dup.alias("dup_tok_frac"))
+        .join(tg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            "dup_tok_frac",
+            t2.alias("top2gram_frac"),
+            ((F.col("dup_tok_frac") > 0.65) | (t2 > 0.11))
+            .cast("long")
+            .alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_REPETITION_METRICS = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[ \t\n\r\f\x0B]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE 1.0 - len(list_distinct(toks)) * 1.0 / len(toks) END
+           AS dup_tok_frac,
+         toks
+  FROM t
+), g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS gram
+  FROM m WHERE len(toks) >= 2
+), c AS (
+  SELECT doc_id, gram, count(*) AS n FROM g GROUP BY 1, 2
+), tg AS (
+  SELECT doc_id, max(n) * 1.0 / sum(n) AS t2 FROM c GROUP BY 1
+)
+SELECT m.doc_id, m.n_tok, m.dup_tok_frac,
+       COALESCE(tg.t2, 0.0) AS top2gram_frac,
+       CAST(CASE WHEN m.dup_tok_frac > 0.65 OR COALESCE(tg.t2, 0.0) > 0.11
+                 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+FROM m LEFT JOIN tg USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: the eval set is the deterministic slice
+    doc_id % 10 == 0 (a stand-in for a held-out benchmark); a training doc
+    is contaminated when it shares ANY 8-token gram with any eval doc
+    (the GPT-3/PaLM n-gram-overlap rule). Returns every training doc with
+    its shared-gram count. sf0.01: 6 of 450 contaminated — non-vacuous.
+
+    Scale: the eval-gram set is tiny relative to the corpus (benchmarks
+    are MBs, corpora are TBs) — broadcast it; the per-doc distinct +
+    count aggregate on (doc_id, gram) partial-aggregates map-side."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.array_remove(F.split(F.col("text"), _ASCII_WS), "")
+    d = docs.select("doc_id", toks.alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
+    grams = (
+        d.filter(F.col("n") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n") - 7),
+                    lambda i: F.array_join(F.slice("toks", i, 8), " "),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    ev = grams.filter(F.col("doc_id") % 10 == 0).select("gram").distinct()
+    hits = (
+        grams.filter(F.col("doc_id") % 10 != 0)
+        .join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    train = d.filter(F.col("doc_id") % 10 != 0).select("doc_id")
+    n = F.coalesce("n", F.lit(0)).cast("long")
+    return (
+        train.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            n.alias("n_shared_8grams"),
+            (n > 0).cast("long").alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_DECONTAMINATION = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[ \t\n\r\f\x0B]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks) - 6),
+                  i -> list_aggregate(toks[i:i+7], 'string_agg', ' '))) AS gram
+    FROM t WHERE len(toks) >= 8
+  )
+), ev AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0
+), hits AS (
+  SELECT g.doc_id, count(*) AS n
+  FROM g JOIN ev USING (gram)
+  WHERE g.doc_id % 10 <> 0
+  GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(COALESCE(hits.n, 0) AS BIGINT) AS n_shared_8grams,
+       CAST(CASE WHEN COALESCE(hits.n, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS contaminated
+FROM t LEFT JOIN hits ON t.doc_id = hits.doc_id
+WHERE t.doc_id % 10 <> 0
+ORDER BY t.doc_id
+"""
+
+
+def q_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixing weights: downsample every source to the mean
+    per-source token count (rate = min(1, mean/n_tok)) — the sampling
+    plan a pretraining mix computes before materializing shards. Using
+    the CURRENT mean as the target makes the query scale-free: at every
+    sf, below-mean sources keep rate 1.0 and above-mean sources get a
+    fractional rate (non-vacuous by construction unless all equal).
+
+    Scale: one narrow groupBy(source) agg + a broadcast of the 1-row
+    global mean. The mean is computed as exact-int sum/count in BOTH
+    engines (never AVG: accumulation order could drift) — a single
+    double division, then round(6)/round(4) on the outputs."""
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+    n_tok = F.size(F.array_remove(F.split(F.col("text"), _ASCII_WS), ""))
+    s = (
+        docs.select("source", n_tok.alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").cast("long").alias("n_tok"))
+    )
+    tot = s.agg(
+        (F.sum("n_tok") * F.lit(1.0) / F.count("*")).alias("mean_tok")
+    )
+    rate = F.least(F.lit(1.0), F.col("mean_tok") / F.col("n_tok"))
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tok",
+            F.round(rate, 6).alias("sample_rate"),
+            F.round(F.col("n_tok") * rate, 4).alias("expected_tok"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_MIXING_WEIGHTS = r"""
+WITH s AS (
+  SELECT source,
+         CAST(SUM(len(list_filter(
+               regexp_split_to_array(text, '[ \t\n\r\f\x0B]+'),
+               x -> x <> ''))) AS BIGINT) AS n_tok
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT SUM(n_tok) * 1.0 / COUNT(*) AS mean_tok FROM s
+)
+SELECT s.source, s.n_tok,
+       ROUND(LEAST(1.0, tot.mean_tok / s.n_tok), 6) AS sample_rate,
+       ROUND(s.n_tok * LEAST(1.0, tot.mean_tok / s.n_tok), 4) AS expected_tok
+FROM s, tot
+ORDER BY source
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep rates (en is
+    over-represented at ~44% of sf0.01 docs -> 25%; every other lang ->
+    75%), decided per doc by an md5 hex-prefix compare (the
+    train_val_split convention — engine-portable, re-run-stable, no
+    sampling state). substr(md5,1,2) < '40' is 64/256 = 25%; < 'c0' is
+    192/256 = 75%. Returns the per-doc keep decision.
+
+    Scale: pure narrow projection — no shuffle at all beyond the output
+    sort; the keep decision is a pure function of (doc_id, lang)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    h = F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    thr = F.when(F.col("lang") == "en", F.lit("40")).otherwise(F.lit("c0"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        (F.substring(h, 1, 2) < thr).cast("long").alias("kept"),
+    ).orderBy("doc_id")
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang,
+       CAST(CASE WHEN substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                      < (CASE WHEN lang = 'en' THEN '40' ELSE 'c0' END)
+                 THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM documents
+ORDER BY doc_id
+"""

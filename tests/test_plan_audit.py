@@ -25,6 +25,7 @@ CARTESIAN_OK = {
     "cosine_topk",        # 5-row query side, crossJoin by design
     "embedding_near_dup", # pinned exact O(n^2) baseline; LSH twin scales
     "range_join",         # broadcast nested loop vs 3-row literal bands
+    "mixing_weights",     # 1-row global-mean broadcast (scalar-subquery shape)
 }
 
 QUERIES = sorted(entrymod.queries().items())
