@@ -21,6 +21,10 @@ QUERIES = (
     "boilerplate_scalable",
     "sequence_packing",
     "train_val_split",
+    "repetition_metrics",
+    "decontamination",
+    "mixing_weights",
+    "stratified_sample",
 )
 
 
