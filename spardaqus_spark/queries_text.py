@@ -981,7 +981,6 @@ def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("flagged"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -1061,7 +1060,6 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             n.alias("n_shared_8grams"),
             (n > 0).cast("long").alias("contaminated"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -1166,7 +1164,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         (F.substring(h, 1, 2) < thr).cast("long").alias("kept"),
-    ).orderBy("doc_id")
+    )
 
 
 SQL_STRATIFIED_SAMPLE = """

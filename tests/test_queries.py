@@ -115,3 +115,26 @@ def test_entry_smoke(spark):
     # langid over documents must produce real predictions
     langs = {r["lang_pred"] for r in rows}
     assert langs & {"de", "en", "es", "fr", "zh"}
+
+
+def test_new_training_ops_nonvacuous(spark):
+    """The r3-continuation ops' thresholds are calibrated against the
+    driver testdata (CLAUDE.md non-vacuity rule); if the corpus is ever
+    regenerated these guards fail loudly instead of the flags silently
+    going all-true/all-false while the oracle still 'matches'."""
+    rep = ALL["repetition_metrics"](spark, SF_DIR).toPandas()
+    assert 0 < rep["flagged"].sum() < len(rep)
+
+    dec = ALL["decontamination"](spark, SF_DIR).toPandas()
+    assert 0 < dec["contaminated"].sum() < len(dec)
+    # eval docs themselves are excluded from the output
+    assert (dec["doc_id"] % 10 != 0).all()
+
+    mix = ALL["mixing_weights"](spark, SF_DIR).toPandas()
+    assert (mix["sample_rate"] == 1.0).any()
+    assert (mix["sample_rate"] < 1.0).any()
+
+    st = ALL["stratified_sample"](spark, SF_DIR).toPandas()
+    by = st.groupby("lang")["kept"].mean()
+    assert by["en"] < 0.45          # en downsampled toward 25%
+    assert (by.drop("en") > 0.55).all()  # others toward 75%
