@@ -132,7 +132,6 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("est_jaccard", F.round(est, 4))
         .filter(F.col("est_jaccard") >= 0.5)
         .select("d1", "d2", "est_jaccard")
-        .orderBy("d1", "d2")
     )
 
 
@@ -163,7 +162,6 @@ def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig.withColumn("bucket_size", F.count("*").over(w))
         .filter(F.col("bucket_size") > 1)
         .select("doc_id", "simhash", "bucket_size")
-        .orderBy("doc_id")
     )
 
 
@@ -209,7 +207,6 @@ def q_ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2"), "cos"
         )
-        .orderBy("v1", "v2")
     )
     return pairs
 
@@ -304,7 +301,6 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         assets.mapInPandas(_decode_features, MULTIMODAL_SCHEMA)
         .withColumn("feat", F.transform("feat", lambda x: F.round(x, 4)))
-        .orderBy("asset_id")
     )
 
 
@@ -334,7 +330,7 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "n_cells": np.full(len(pdf), G, dtype=np.int32)}
             )
 
-    return assets.mapInPandas(fn, RESIZE_SCHEMA).orderBy("asset_id")
+    return assets.mapInPandas(fn, RESIZE_SCHEMA)
 
 
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -368,7 +364,7 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return assets.mapInPandas(fn, FRAMES_SCHEMA).orderBy("asset_id", "frame_idx")
+    return assets.mapInPandas(fn, FRAMES_SCHEMA)
 
 
 IVF_K = 64       # fixed centroid count — O(K) driver memory at ANY corpus size
@@ -506,5 +502,4 @@ def q_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= 0.3)
         # nprobe>1 means a pair can meet in up to nprobe shared cells
         .dropDuplicates(["v1", "v2"])
-        .orderBy("v1", "v2")
     )

@@ -350,7 +350,6 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lbl").alias("cluster_rep"),
             "cluster_size",
         )
-        .orderBy("doc_id")
     )
 
 
@@ -394,7 +393,7 @@ def q_near_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     losers = clusters.filter(
         F.col("doc_id") != F.col("cluster_rep")
     ).select("doc_id")
-    return docs.join(losers, "doc_id", "left_anti").orderBy("doc_id")
+    return docs.join(losers, "doc_id", "left_anti")
 
 
 SQL_NEAR_DEDUP_KEEP = r"""
@@ -478,7 +477,6 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum("n_tok").alias("tot_tokens"),
         )
-        .orderBy("source", "bin")
     )
 
 
