@@ -53,13 +53,24 @@ def _content_salt(df: "DataFrame", k: int):
 
     xxhash64 is a Catalyst-deterministic expression, so filter pushdown
     through the salted projection is preserved and task retries re-derive
-    identical salts (see module docstring). MapType columns are excluded
-    — Catalyst cannot hash maps (code-review r3); a frame whose only
-    columns are maps cannot be content-salted and raises.
+    identical salts (see module docstring). Columns containing MapType
+    ANYWHERE in their type tree (top-level map, array<map>, struct with a
+    map field, ...) are excluded — Catalyst cannot hash maps (code-review
+    r3 ×2); a frame whose only columns contain maps cannot be
+    content-salted and raises.
     """
-    from pyspark.sql.types import MapType
+    from pyspark.sql.types import ArrayType, MapType, StructType
 
-    cols = [f.name for f in df.schema.fields if not isinstance(f.dataType, MapType)]
+    def _has_map(dt) -> bool:
+        if isinstance(dt, MapType):
+            return True
+        if isinstance(dt, ArrayType):
+            return _has_map(dt.elementType)
+        if isinstance(dt, StructType):
+            return any(_has_map(f.dataType) for f in dt.fields)
+        return False
+
+    cols = [f.name for f in df.schema.fields if not _has_map(f.dataType)]
     if not cols:
         raise ValueError(
             "content salt needs at least one non-map column to hash"

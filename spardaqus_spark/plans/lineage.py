@@ -190,7 +190,10 @@ def collect_lineage_all_stages(
     )
 
 
-STREAM_STAGES = ("score", "verdict", "scrub")
+# `write` is appended by streaming.pipeline.score_micro_batch as a
+# sink-observed row (partition_id=-1), not derived here — but it IS part
+# of every batch's ledger, so consumers iterating this constant see it.
+STREAM_STAGES = ("score", "verdict", "scrub", "write")
 
 
 def collect_lineage_stream(scored_df: "DataFrame", batch_id: int) -> "DataFrame":

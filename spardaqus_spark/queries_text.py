@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from .operators.stages import BOILERPLATE_WS
 from .queries import load
 
 
@@ -458,7 +459,7 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("source", "doc_id", "text")
     toks = F.size(
         F.array_remove(
-            F.split(F.col("text"), "[ \\t\\n\\r\\f\\x0B]+"), ""
+            F.split(F.col("text"), BOILERPLATE_WS), ""
         )
     )
     d = docs.select("source", "doc_id", toks.cast("long").alias("n_tok"))
@@ -816,7 +817,7 @@ def q_boilerplate_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             # explicit ASCII whitespace class — pinned identically across
             # the pandas twin and the RE2 oracle (see q_boilerplate_tokens)
-            F.split(F.trim(F.lower(F.col("text"))), "[ \\t\\n\\r\\f\\x0B]+")
+            F.split(F.trim(F.lower(F.col("text"))), BOILERPLATE_WS)
         ).alias("word"),
     ).filter(F.col("word") != "")
     per_doc = words.dropDuplicates(["source", "doc_id", "word"])
@@ -927,7 +928,11 @@ FROM documents
 # whitespace class (SURVEY §2.9.17).
 # ---------------------------------------------------------------------------
 
-_ASCII_WS = "[ \\t\\n\\r\\f\\x0B]+"
+# Spark-side tokenizer: THE pinned constant from operators.stages (SURVEY
+# §2.9.17) — never a fresh copy of the literal, so a future re-pin moves
+# every Spark-side user together (code-review r3 ×2). The DuckDB twins
+# must keep the literal inline (SQL strings), pinned by the parity tests.
+_ASCII_WS = BOILERPLATE_WS
 
 
 def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1021,9 +1026,11 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the GPT-3/PaLM n-gram-overlap rule). Returns every training doc with
     its shared-gram count. sf0.01: 6 of 450 contaminated — non-vacuous.
 
-    Scale: the eval-gram set is tiny relative to the corpus (benchmarks
-    are MBs, corpora are TBs) — broadcast it; the per-doc distinct +
-    count aggregate on (doc_id, gram) partial-aggregates map-side."""
+    Scale: with a REAL external benchmark table the eval-gram set is tiny
+    (benchmarks are MBs, corpora are TBs) and should be broadcast by the
+    caller; this query's %10 stand-in slice grows with the corpus, so the
+    join carries no hint and AQE decides at runtime. The per-doc distinct
+    + count aggregate on (doc_id, gram) partial-aggregates map-side."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.array_remove(F.split(F.col("text"), _ASCII_WS), "")
     d = docs.select("doc_id", toks.alias("toks")).withColumn(
@@ -1042,10 +1049,15 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # NO broadcast hint: the %10 stand-in eval slice grows WITH the corpus,
+    # so a forced broadcast would blow past the broadcast limit at scale
+    # (code-review r3 ×2) — AQE picks broadcast at runtime whenever the
+    # built side is actually small. With a real external benchmark table
+    # (MB-scale by nature) the caller should add F.broadcast explicitly.
     ev = grams.filter(F.col("doc_id") % 10 == 0).select("gram").distinct()
     hits = (
         grams.filter(F.col("doc_id") % 10 != 0)
-        .join(F.broadcast(ev), "gram")
+        .join(ev, "gram")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n"))
     )

@@ -179,3 +179,18 @@ def test_content_salt_skips_map_columns(spark):
     maps_only = df.select("meta")
     with pytest.raises(ValueError, match="non-map"):
         _content_salt(maps_only, 4)
+
+
+def test_content_salt_skips_nested_map_columns(spark):
+    """code-review r3 second pass: the exclusion must walk the whole type
+    tree — array<map> and struct-with-map-field are just as unhashable as
+    a top-level map."""
+    from spardaqus_spark.operators.saltops import salted_agg
+
+    df = spark.createDataFrame(
+        [("r1", 1, [{"a": 1}], ("x", {"k": 2})), ("r1", 2, [], ("y", {}))],
+        "repo string, n int, tags array<map<string,int>>, "
+        "meta struct<s:string,m:map<string,int>>",
+    )
+    out = salted_agg(df, ["repo"], {"total": ("sum", "n")}, k=4).collect()
+    assert [(r["repo"], r["total"]) for r in out] == [("r1", 3)]
