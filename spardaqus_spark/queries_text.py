@@ -1115,7 +1115,11 @@ def q_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one narrow groupBy(source) agg + a broadcast of the 1-row
     global mean. The mean is computed as exact-int sum/count in BOTH
     engines (never AVG: accumulation order could drift) — a single
-    double division, then round(6)/round(4) on the outputs."""
+    double division, then round(6)/round(4) on the outputs.
+
+    A zero-token source gets rate 1.0 by EXPLICIT branch: under Spark 4's
+    ANSI default, mean/0 THROWS at runtime (it is not NULL) — the edge-
+    corpus test caught a whole-job crash here (tests/test_edge_corpus.py)."""
     docs = load(spark, sf_dir, "documents").select("source", "text")
     n_tok = F.size(F.array_remove(F.split(F.col("text"), _ASCII_WS), ""))
     s = (
@@ -1126,7 +1130,9 @@ def q_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = s.agg(
         (F.sum("n_tok") * F.lit(1.0) / F.count("*")).alias("mean_tok")
     )
-    rate = F.least(F.lit(1.0), F.col("mean_tok") / F.col("n_tok"))
+    rate = F.when(F.col("n_tok") == 0, F.lit(1.0)).otherwise(
+        F.least(F.lit(1.0), F.col("mean_tok") / F.col("n_tok"))
+    )
     return (
         s.crossJoin(F.broadcast(tot))
         .select(
@@ -1150,8 +1156,11 @@ WITH s AS (
   SELECT SUM(n_tok) * 1.0 / COUNT(*) AS mean_tok FROM s
 )
 SELECT s.source, s.n_tok,
-       ROUND(LEAST(1.0, tot.mean_tok / s.n_tok), 6) AS sample_rate,
-       ROUND(s.n_tok * LEAST(1.0, tot.mean_tok / s.n_tok), 4) AS expected_tok
+       ROUND(CASE WHEN s.n_tok = 0 THEN 1.0
+                  ELSE LEAST(1.0, tot.mean_tok / s.n_tok) END, 6) AS sample_rate,
+       ROUND(s.n_tok * CASE WHEN s.n_tok = 0 THEN 1.0
+                            ELSE LEAST(1.0, tot.mean_tok / s.n_tok) END, 4)
+         AS expected_tok
 FROM s, tot
 ORDER BY source
 """

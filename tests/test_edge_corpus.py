@@ -1,0 +1,89 @@
+"""Edge-corpus parity for the r3-continuation training ops: run each
+Spark query AND its DuckDB oracle over a hand-built pathological
+`documents` table (empty text, whitespace-only, single token, all-equal
+tokens, sub-8-token docs, a planted eval/train shared 8-gram, unknown
+lang, a zero-token source) and require the driver-grade canonical match.
+
+The sf0.01 parity test (test_queries.py) proves the twins agree on the
+REAL corpus; this proves they agree where the edge semantics live —
+0/0 guards, empty-gram coalesces, division-by-zero (NULL in both
+engines, absorbed by LEAST), and the eval-slice exclusion."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+
+from test_queries import _canon
+
+# doc_id % 10 == 0 rows are the decontamination eval slice.
+# doc 0 (eval) and doc 1 (train) share the 8-token run "q w e r t y u i".
+_DOCS = pd.DataFrame(
+    {
+        "doc_id": [0, 1, 2, 3, 4, 5, 6, 11],
+        "text": [
+            "q w e r t y u i o p",          # eval doc, 10 tokens
+            "z z q w e r t y u i",           # train: shares 8-gram with eval
+            "",                               # empty text
+            " \t\n ",                         # whitespace-only -> 0 tokens
+            "lonely",                         # single token: no 2-grams
+            "a a a a a a",                    # all-equal: dup=5/6, top2=1.0
+            "seven short tokens only here now x",  # 7 tokens: no 8-grams
+            "unique words entirely here believe me truly",  # train, clean
+        ],
+        "lang": ["en", "en", "xx", "fr", "en", "es", "en", "de"],
+        "source": ["s1", "s1", "s_empty", "s_empty", "s2", "s2", "s2", "s2"],
+    }
+)
+_DOCS["n_chars"] = _DOCS["text"].str.len().astype("int64")
+
+_OPS = ["repetition_metrics", "decontamination", "mixing_weights", "stratified_sample"]
+
+
+@pytest.fixture(scope="module")
+def edge_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_corpus")
+    _DOCS.to_parquet(d / "documents.parquet", index=False)
+    return str(d)
+
+
+@pytest.mark.parametrize("name", _OPS)
+def test_edge_corpus_parity(spark, edge_dir, name):
+    got = entrymod.queries()[name](spark, edge_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{edge_dir}/documents.parquet')"
+    )
+    exp = con.execute(entrymod.oracle_sql()[name]).df()
+    assert sorted(got.columns) == sorted(exp.columns)
+    assert len(got) == len(exp), f"{name}: rows {len(got)} != {len(exp)}"
+    assert _canon(got) == _canon(exp)
+
+
+def test_edge_corpus_semantics(spark, edge_dir):
+    """Spot-check the intended edge behaviors (not just parity)."""
+    q = entrymod.queries()
+
+    rep = q["repetition_metrics"](spark, edge_dir).toPandas().set_index("doc_id")
+    assert rep.loc[2, "n_tok"] == 0 and rep.loc[2, "dup_tok_frac"] == 0.0
+    assert rep.loc[3, "n_tok"] == 0          # whitespace-only
+    assert rep.loc[4, "top2gram_frac"] == 0.0  # single token: no grams
+    assert rep.loc[5, "flagged"] == 1 and rep.loc[5, "top2gram_frac"] == 1.0
+
+    dec = q["decontamination"](spark, edge_dir).toPandas().set_index("doc_id")
+    assert 0 not in dec.index               # eval docs excluded
+    assert dec.loc[1, "contaminated"] == 1  # planted shared 8-gram
+    assert dec.loc[6, "contaminated"] == 0  # <8 tokens: no grams at all
+    assert dec.loc[11, "contaminated"] == 0
+
+    mix = q["mixing_weights"](spark, edge_dir).toPandas().set_index("source")
+    # zero-token source: mean/0 is NULL in both engines, LEAST absorbs it
+    assert mix.loc["s_empty", "n_tok"] == 0
+    assert mix.loc["s_empty", "sample_rate"] == 1.0
+
+    st = q["stratified_sample"](spark, edge_dir).toPandas()
+    assert len(st) == len(_DOCS)            # unknown lang still assigned
