@@ -481,25 +481,37 @@ def q_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     assigned = v.mapInPandas(assign, "vec_id bigint, v array<double>, cell int")
-    a, b = assigned.alias("a"), assigned.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
+
+    # Within-cell exact cosine as ONE vectorized per-cell matmul
+    # (applyInPandas) instead of a cell self-join whose per-pair
+    # aggregate(zip_with(...)) is a NESTED higher-order expression —
+    # interpreted, not codegen (the minhash r3 lesson), and the join
+    # planned the mapInPandas assignment subtree once PER SIDE. The
+    # grouped form consumes `assigned` once and does the n_cell^2 dot
+    # products as a single BLAS call; cell width is bounded by design
+    # (K ~ sqrt(n) at scale), so per-group memory is O(sqrt(n) * dim).
+    # Measured sf0.1 (2000 vecs): 14.5s -> see BENCH/BASELINE.md.
+    def cell_pairs(pdf):
+        if len(pdf) < 2:
+            return pd.DataFrame({"v1": [], "v2": [], "cos": []}).astype(
+                {"v1": "int64", "v2": "int64", "cos": "float64"}
+            )
+        M = np.array(pdf["v"].tolist(), dtype=np.float64)
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        S = np.round(Mn @ Mn.T, 4)
+        ids = pdf["vec_id"].to_numpy()
+        iu, ju = np.triu_indices(len(ids), k=1)
+        lo = np.minimum(ids[iu], ids[ju])
+        hi = np.maximum(ids[iu], ids[ju])
+        cos = S[iu, ju]
+        keep = cos >= 0.3
+        return pd.DataFrame(
+            {"v1": lo[keep], "v2": hi[keep], "cos": cos[keep]}
+        )
+
     return (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("v1"),
-            F.col("b.vec_id").alias("v2"),
-            F.round(dot / (nrm(F.col("a.v")) * nrm(F.col("b.v"))), 4).alias("cos"),
-        )
-        .filter(F.col("cos") >= 0.3)
+        assigned.groupBy("cell")
+        .applyInPandas(cell_pairs, "v1 bigint, v2 bigint, cos double")
         # nprobe>1 means a pair can meet in up to nprobe shared cells
         .dropDuplicates(["v1", "v2"])
     )
