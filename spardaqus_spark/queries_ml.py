@@ -165,6 +165,40 @@ def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _group_cosine_pairs(df: DataFrame, key: str) -> DataFrame:
+    """All within-group exact cosine pairs (cos >= 0.3, v1 < v2) via ONE
+    vectorized NumPy matmul per group (applyInPandas). The alternative —
+    a group self-join whose per-pair aggregate(zip_with(...)) dot product
+    is a NESTED higher-order expression — is interpreted, not codegen,
+    and plans the group-producing subtree once per join side (measured 5x
+    slower on the IVF path; see BENCH/BASELINE.md r3). Group width must
+    be bounded by construction (LSH bucket / IVF cell), so per-group
+    memory is O(group * dim)."""
+    import numpy as np
+    import pandas as pd
+
+    def cell_pairs(pdf):
+        if len(pdf) < 2:
+            return pd.DataFrame({"v1": [], "v2": [], "cos": []}).astype(
+                {"v1": "int64", "v2": "int64", "cos": "float64"}
+            )
+        M = np.array(pdf["v"].tolist(), dtype=np.float64)
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        S = np.round(Mn @ Mn.T, 4)
+        ids = pdf["vec_id"].to_numpy()
+        iu, ju = np.triu_indices(len(ids), k=1)
+        lo = np.minimum(ids[iu], ids[ju])
+        hi = np.maximum(ids[iu], ids[ju])
+        cos = S[iu, ju]
+        keep = cos >= 0.3
+        return pd.DataFrame({"v1": lo[keep], "v2": hi[keep], "cos": cos[keep]})
+
+    return df.groupBy(key).applyInPandas(
+        cell_pairs, "v1 bigint, v2 bigint, cos double"
+    )
+
+
 def q_ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via random-hyperplane LSH: 8 deterministic
     pseudo-hyperplanes (hash-derived signs), bucket on the 8-bit sketch,
@@ -189,26 +223,9 @@ def q_ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         planes.append(F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)) * (2 ** p))
     sketch = sum(planes[1:], planes[0])
     sk = v.withColumn("sketch", sketch.cast("int"))
-    a, b = sk.alias("a"), sk.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.sketch") == F.col("b.sketch"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .withColumn("cos", F.round(dot / (nrm(F.col("a.v")) * nrm(F.col("b.v"))), 4))
-        .filter(F.col("cos") >= 0.3)
-        .select(
-            F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2"), "cos"
-        )
-    )
-    return pairs
+    # within-bucket exact cosine: one vectorized matmul per bucket (see
+    # _group_cosine_pairs — the join + per-pair HOF form is interpreted)
+    return _group_cosine_pairs(sk, "sketch")
 
 
 def q_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -482,36 +499,13 @@ def q_ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assigned = v.mapInPandas(assign, "vec_id bigint, v array<double>, cell int")
 
-    # Within-cell exact cosine as ONE vectorized per-cell matmul
-    # (applyInPandas) instead of a cell self-join whose per-pair
-    # aggregate(zip_with(...)) is a NESTED higher-order expression —
-    # interpreted, not codegen (the minhash r3 lesson), and the join
-    # planned the mapInPandas assignment subtree once PER SIDE. The
-    # grouped form consumes `assigned` once and does the n_cell^2 dot
-    # products as a single BLAS call; cell width is bounded by design
-    # (K ~ sqrt(n) at scale), so per-group memory is O(sqrt(n) * dim).
-    # Measured sf0.1 (2000 vecs): 14.5s -> see BENCH/BASELINE.md.
-    def cell_pairs(pdf):
-        if len(pdf) < 2:
-            return pd.DataFrame({"v1": [], "v2": [], "cos": []}).astype(
-                {"v1": "int64", "v2": "int64", "cos": "float64"}
-            )
-        M = np.array(pdf["v"].tolist(), dtype=np.float64)
-        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        S = np.round(Mn @ Mn.T, 4)
-        ids = pdf["vec_id"].to_numpy()
-        iu, ju = np.triu_indices(len(ids), k=1)
-        lo = np.minimum(ids[iu], ids[ju])
-        hi = np.maximum(ids[iu], ids[ju])
-        cos = S[iu, ju]
-        keep = cos >= 0.3
-        return pd.DataFrame(
-            {"v1": lo[keep], "v2": hi[keep], "cos": cos[keep]}
-        )
-
+    # Within-cell exact cosine: shared per-group matmul helper (see
+    # _group_cosine_pairs). Cell width is bounded by design (K ~ sqrt(n)
+    # at scale), so per-group memory is O(sqrt(n) * dim).
+    # Measured sf0.1 (2000 vecs): 14.5s -> 2.95s vs the join + per-pair
+    # HOF form (BENCH/BASELINE.md r3).
     return (
-        assigned.groupBy("cell")
-        .applyInPandas(cell_pairs, "v1 bigint, v2 bigint, cos double")
+        _group_cosine_pairs(assigned, "cell")
         # nprobe>1 means a pair can meet in up to nprobe shared cells
         .dropDuplicates(["v1", "v2"])
     )
