@@ -178,21 +178,39 @@ def _group_cosine_pairs(df: DataFrame, key: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    BLOCK = 2048  # S is computed in row-blocks: peak extra memory is
+    # BLOCK x n_group doubles (~16 MB per 1k-wide group), never the full
+    # n_group^2 matrix — a sqrt(10^9)-row cell would otherwise allocate
+    # gigabytes for S while its vectors themselves are only ~16 MB.
+
     def cell_pairs(pdf):
-        if len(pdf) < 2:
+        n = len(pdf)
+        if n < 2:
             return pd.DataFrame({"v1": [], "v2": [], "cos": []}).astype(
                 {"v1": "int64", "v2": "int64", "cos": "float64"}
             )
         M = np.array(pdf["v"].tolist(), dtype=np.float64)
         Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        S = np.round(Mn @ Mn.T, 4)
         ids = pdf["vec_id"].to_numpy()
-        iu, ju = np.triu_indices(len(ids), k=1)
-        lo = np.minimum(ids[iu], ids[ju])
-        hi = np.maximum(ids[iu], ids[ju])
-        cos = S[iu, ju]
-        keep = cos >= 0.3
-        return pd.DataFrame({"v1": lo[keep], "v2": hi[keep], "cos": cos[keep]})
+        out_v1, out_v2, out_cos = [], [], []
+        for r0 in range(0, n, BLOCK):
+            r1 = min(r0 + BLOCK, n)
+            S = np.round(Mn[r0:r1] @ Mn[r0:].T, 4)
+            # upper triangle of the (block x tail) slab: global j > global i
+            bi, bj = np.nonzero(S >= 0.3)
+            gi, gj = bi + r0, bj + r0
+            m = gj > gi
+            gi, gj, cs = gi[m], gj[m], S[bi[m], bj[m]]
+            out_v1.append(np.minimum(ids[gi], ids[gj]))
+            out_v2.append(np.maximum(ids[gi], ids[gj]))
+            out_cos.append(cs)
+        return pd.DataFrame(
+            {
+                "v1": np.concatenate(out_v1),
+                "v2": np.concatenate(out_v2),
+                "cos": np.concatenate(out_cos),
+            }
+        )
 
     return df.groupBy(key).applyInPandas(
         cell_pairs, "v1 bigint, v2 bigint, cos double"
