@@ -166,7 +166,7 @@ def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _group_cosine_pairs(df: DataFrame, key: str) -> DataFrame:
+def _group_cosine_pairs(df: DataFrame, key: str, block: int = 2048) -> DataFrame:
     """All within-group exact cosine pairs (cos >= 0.3, v1 < v2) via ONE
     vectorized NumPy matmul per group (applyInPandas). The alternative —
     a group self-join whose per-pair aggregate(zip_with(...)) dot product
@@ -178,10 +178,13 @@ def _group_cosine_pairs(df: DataFrame, key: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    BLOCK = 2048  # S is computed in row-blocks: peak extra memory is
-    # BLOCK x n_group doubles (~16 MB per 1k-wide group), never the full
-    # n_group^2 matrix — a sqrt(10^9)-row cell would otherwise allocate
-    # gigabytes for S while its vectors themselves are only ~16 MB.
+    # S is computed in `block`-row slabs: peak extra memory is
+    # block x n_group doubles (~16 MB per 1k-wide group at the default),
+    # never the full n_group^2 matrix — a sqrt(10^9)-row cell would
+    # otherwise allocate gigabytes for S while its vectors themselves are
+    # only ~16 MB. `block` is closure-captured so tests can shrink it to
+    # exercise the slab-boundary index math (test_recall.py).
+    BLOCK = int(block)
 
     def cell_pairs(pdf):
         n = len(pdf)

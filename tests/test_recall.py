@@ -102,3 +102,35 @@ def test_ivf_recall_vs_exact_cosine(spark):
     assert len(got) < all_pairs * 0.05, (
         f"candidate volume {len(got)} not cell-bounded vs {all_pairs} all-pairs"
     )
+
+
+def test_group_cosine_blocking_invariant(spark):
+    """The slab-blocked similarity matmul in _group_cosine_pairs must
+    emit EXACTLY the pairs of the unblocked computation — block=3 forces
+    many slab boundaries (incl. a ragged final slab) over one group."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n, dim = 40, 16
+    V = rng.normal(size=(n, dim))
+    # plant some high-cosine pairs so the >=0.3 filter is non-vacuous
+    V[7] = V[3] + rng.normal(scale=0.05, size=dim)
+    V[25] = V[11] + rng.normal(scale=0.05, size=dim)
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype="int64"), "v": list(V), "g": 0}
+    )
+    sdf = spark.createDataFrame(
+        pdf.assign(v=pdf["v"].map(list)),
+        "vec_id bigint, v array<double>, g int",
+    )
+
+    blocked = {
+        (r.v1, r.v2, r.cos)
+        for r in QM._group_cosine_pairs(sdf, "g", block=3).collect()
+    }
+    whole = {
+        (r.v1, r.v2, r.cos)
+        for r in QM._group_cosine_pairs(sdf, "g", block=10_000).collect()
+    }
+    assert blocked == whole and len(whole) >= 2
