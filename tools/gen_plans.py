@@ -25,6 +25,8 @@ QUERIES = (
     "decontamination",
     "mixing_weights",
     "stratified_sample",
+    "ann_lsh_cosine",
+    "ann_ivf_cosine",
 )
 
 
