@@ -173,8 +173,13 @@ def _group_cosine_pairs(df: DataFrame, key: str, block: int = 2048) -> DataFrame
     is a NESTED higher-order expression — is interpreted, not codegen,
     and plans the group-producing subtree once per join side (measured 5x
     slower on the IVF path; see BENCH/BASELINE.md r3). Group width must
-    be bounded by construction (LSH bucket / IVF cell), so per-group
-    memory is O(group * dim)."""
+    be bounded by construction, so per-group memory is O(group * dim).
+    THE CONTRACT IS ON THE CALLER'S CONFIG, not automatic (code-review
+    r3 ×3): IVF_K must grow ~sqrt(n) and the LSH sketch width ~log2(n)
+    so cells/buckets stay ~sqrt(n)-ish — the module constants (K=64,
+    8 bits) are sized for the sandbox corpora; a production deployment
+    at 10^8+ vectors must raise them or a single group will not fit an
+    executor."""
     import numpy as np
     import pandas as pd
 
@@ -198,7 +203,13 @@ def _group_cosine_pairs(df: DataFrame, key: str, block: int = 2048) -> DataFrame
         out_v1, out_v2, out_cos = [], [], []
         for r0 in range(0, n, BLOCK):
             r1 = min(r0 + BLOCK, n)
-            S = np.round(Mn[r0:r1] @ Mn[r0:].T, 4)
+            # floor(x*1e4 + 0.5)/1e4 == Spark F.round HALF_UP for the
+            # non-negative values the >= 0.3 gate can emit — np.round is
+            # banker's HALF_EVEN and would silently diverge from every
+            # F.round in the package at 4-decimal midpoints (code-review
+            # r3 ×3). Negative midpoints round differently but can never
+            # pass the gate, so emitted values are exactly F.round's.
+            S = np.floor(Mn[r0:r1] @ Mn[r0:].T * 1e4 + 0.5) / 1e4
             # upper triangle of the (block x tail) slab: global j > global i
             bi, bj = np.nonzero(S >= 0.3)
             gi, gj = bi + r0, bj + r0

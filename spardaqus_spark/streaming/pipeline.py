@@ -74,12 +74,18 @@ def score_micro_batch(batch_df: "DataFrame", batch_id: int, cfg: PipelineConfig,
         spark = batch_df.sparkSession
         n_keep = kept.count()
         bdir = f"{str(out_dir).rstrip('/')}/batch_id={int(batch_id)}"
-        try:
-            n_committed = (
-                spark.read.option("basePath", str(out_dir)).parquet(bdir).count()
-            )
-        except Exception:  # PATH_NOT_FOUND: zero kept rows wrote no dir
-            n_committed = 0
+        # n_keep > 0 and the write above succeeded => the partition dir
+        # exists, so the read-back runs unguarded: a transient read
+        # failure must FAIL the batch (foreachBatch retries; the dynamic
+        # overwrite makes the retry idempotent) rather than be swallowed
+        # into n_committed=0, which would fabricate a phantom total write
+        # loss in the ledger (code-review r3 ×3). Zero kept rows write no
+        # dir at all — skip the read instead of catching PATH_NOT_FOUND.
+        n_committed = (
+            spark.read.option("basePath", str(out_dir)).parquet(bdir).count()
+            if n_keep > 0
+            else 0
+        )
         write_row = spark.createDataFrame(
             [(int(batch_id), "write", -1, n_keep, n_committed)],
             "batch_id int, stage string, partition_id int, "

@@ -6,8 +6,10 @@ lang, a zero-token source) and require the driver-grade canonical match.
 
 The sf0.01 parity test (test_queries.py) proves the twins agree on the
 REAL corpus; this proves they agree where the edge semantics live —
-0/0 guards, empty-gram coalesces, division-by-zero (NULL in both
-engines, absorbed by LEAST), and the eval-slice exclusion."""
+0/0 guards, empty-gram coalesces, the zero-token-source branch (under
+Spark 4 ANSI an unguarded mean/0 THROWS — the explicit CASE/when branch
+exists because this test caught that crash), and the eval-slice
+exclusion."""
 
 from __future__ import annotations
 
@@ -81,7 +83,9 @@ def test_edge_corpus_semantics(spark, edge_dir):
     assert dec.loc[11, "contaminated"] == 0
 
     mix = q["mixing_weights"](spark, edge_dir).toPandas().set_index("source")
-    # zero-token source: mean/0 is NULL in both engines, LEAST absorbs it
+    # zero-token source: served by the explicit when(n_tok==0) branch —
+    # WITHOUT it, ANSI-mode mean/0 throws and kills the whole job (the
+    # crash this test originally caught); do NOT "simplify" it away
     assert mix.loc["s_empty", "n_tok"] == 0
     assert mix.loc["s_empty", "sample_rate"] == 1.0
 
