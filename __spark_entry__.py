@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": QT.q_decontamination,
         "mixing_weights": QT.q_mixing_weights,
         "stratified_sample": QT.q_stratified_sample,
+        "quality_binning": QT.q_quality_binning,
         # relational core (star schema)
         "pricing_summary": Q.q_pricing_summary,
         "top_revenue_orders": Q.q_top_revenue_orders,
@@ -170,6 +171,7 @@ def oracle_sql() -> dict[str, str]:
         "decontamination": QT.SQL_DECONTAMINATION,
         "mixing_weights": QT.SQL_MIXING_WEIGHTS,
         "stratified_sample": QT.SQL_STRATIFIED_SAMPLE,
+        "quality_binning": QT.SQL_QUALITY_BINNING,
         "boilerplate_tokens": QT.SQL_BOILERPLATE,
         "boilerplate_scalable": QT.SQL_BOILERPLATE,
         "trimmed_mean_grouped_agg": Q.SQL_TRIMMED_MEAN,

@@ -1194,3 +1194,81 @@ SELECT doc_id, lang,
 FROM documents
 ORDER BY doc_id
 """
+
+
+def q_quality_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-stratified corpus binning (the curriculum / quality-mix
+    step a pretraining pipeline runs after scoring): EXACT quartile
+    thresholds of the quality score, each doc assigned its quartile
+    bucket, per-bucket count + score stats. Thresholds are exact
+    percentile_cont in BOTH engines — probed bit-identical (linear
+    interpolation over identically-computed doubles), so bucket
+    boundaries cannot drift between the twins.
+
+    Scale: narrow scan -> ONE single-row exact-percentile aggregate
+    (sort-based within the agg, only 3 doubles reach the driver side of
+    the plan) broadcast back -> one groupBy(bucket) over 4 keys. The
+    4-row output sort is trivial. avg rounds to 4 like every float
+    aggregate (double-sum order drift is far below 1e-4 at any count)."""
+    docs = load(spark, sf_dir, "documents")
+    length = F.length("text")
+    punct = F.length(F.regexp_replace("text", "[^!-/:-@\\[-`{-~]", ""))
+    upper = F.length(F.regexp_replace("text", "[^A-Z]", ""))
+    score = (
+        F.least(length / F.lit(1000.0), F.lit(1.0))
+        - punct / F.greatest(length, F.lit(1)) * 0.5
+        - upper / F.greatest(length, F.lit(1)) * 0.25
+    )
+    d = docs.select("doc_id", score.alias("qs"))
+    th = d.agg(
+        F.percentile("qs", 0.25).alias("t1"),
+        F.percentile("qs", 0.50).alias("t2"),
+        F.percentile("qs", 0.75).alias("t3"),
+    )
+    bucket = (
+        F.when(F.col("qs") <= F.col("t1"), F.lit("q1_low"))
+        .when(F.col("qs") <= F.col("t2"), F.lit("q2"))
+        .when(F.col("qs") <= F.col("t3"), F.lit("q3"))
+        .otherwise(F.lit("q4_high"))
+    )
+    return (
+        d.crossJoin(F.broadcast(th))
+        .select(bucket.alias("bucket"), "qs")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("qs"), 4).alias("avg_qs"),
+            F.round(F.min("qs"), 4).alias("min_qs"),
+            F.round(F.max("qs"), 4).alias("max_qs"),
+        )
+        .orderBy("bucket")
+    )
+
+
+SQL_QUALITY_BINNING = r"""
+WITH s AS (
+  SELECT doc_id,
+         LEAST(length(text) / 1000.0, 1.0)
+         - length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g'))
+           / GREATEST(length(text), 1) * 0.5
+         - length(regexp_replace(text, '[^A-Z]', '', 'g'))
+           / GREATEST(length(text), 1) * 0.25 AS qs
+  FROM documents
+), th AS (
+  SELECT CAST(quantile_cont(qs, 0.25) AS DOUBLE) AS t1,
+         CAST(quantile_cont(qs, 0.50) AS DOUBLE) AS t2,
+         CAST(quantile_cont(qs, 0.75) AS DOUBLE) AS t3
+  FROM s
+)
+SELECT CASE WHEN qs <= t1 THEN 'q1_low'
+            WHEN qs <= t2 THEN 'q2'
+            WHEN qs <= t3 THEN 'q3'
+            ELSE 'q4_high' END AS bucket,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(qs), 4) AS avg_qs,
+       ROUND(MIN(qs), 4) AS min_qs,
+       ROUND(MAX(qs), 4) AS max_qs
+FROM s, th
+GROUP BY 1
+ORDER BY bucket
+"""

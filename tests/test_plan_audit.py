@@ -26,6 +26,7 @@ CARTESIAN_OK = {
     "embedding_near_dup", # pinned exact O(n^2) baseline; LSH twin scales
     "range_join",         # broadcast nested loop vs 3-row literal bands
     "mixing_weights",     # 1-row global-mean broadcast (scalar-subquery shape)
+    "quality_binning",    # 1-row quartile-threshold broadcast (same shape)
 }
 
 QUERIES = sorted(entrymod.queries().items())
