@@ -91,3 +91,45 @@ def test_edge_corpus_semantics(spark, edge_dir):
 
     st = q["stratified_sample"](spark, edge_dir).toPandas()
     assert len(st) == len(_DOCS)            # unknown lang still assigned
+
+
+def test_sequence_packing_budget_invariant(spark):
+    """Offset-based packing (bin = floor(exclusive_cumsum / B)) lets a
+    bin's LAST doc spill past the boundary, so the tight algebraic
+    invariant is tot_tokens < B + last_doc_tokens per bin (derivation:
+    the bin's first doc starts at offset >= b*B and its last doc starts
+    < (b+1)*B). Checked at sf0.1 where 70 of 140 bins genuinely spill —
+    a naive "tot <= B unless single doc" assertion would pass sf0.01
+    only by accident (per-source totals fit one bin) and is WRONG."""
+    out = (
+        entrymod.queries()["sequence_packing"](spark, "/root/testdata/sf0.1")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    doc = con.execute(
+        r"""
+      WITH t AS (
+        SELECT source, doc_id,
+               len(list_filter(regexp_split_to_array(text, '[ \t\n\r\f\x0B]+'),
+                               x -> x <> '')) AS n_tok
+        FROM read_parquet('/root/testdata/sf0.1/documents.parquet')
+      )
+      SELECT source, doc_id, n_tok,
+             COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
+               AS bin
+      FROM t
+    """
+    ).df()
+    last_tok = (
+        doc.sort_values(["source", "doc_id"])
+        .groupby(["source", "bin"])["n_tok"]
+        .last()
+        .rename("last_tok")
+        .reset_index()
+    )
+    m = out.merge(last_tok, on=["source", "bin"], how="left")
+    assert m["last_tok"].notna().all()
+    assert (m["tot_tokens"] < 2048 + m["last_tok"]).all()
+    # spill really happens at this sf — the bound is non-vacuous
+    assert (m["tot_tokens"] > 2048).any()
