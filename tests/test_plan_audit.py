@@ -27,6 +27,12 @@ CARTESIAN_OK = {
     "range_join",         # broadcast nested loop vs 3-row literal bands
     "mixing_weights",     # 1-row global-mean broadcast (scalar-subquery shape)
     "quality_binning",    # 1-row quartile-threshold broadcast (same shape)
+    # r4 checked ANN forms: the exact verification side (_exact_cos_pairs)
+    # is the same pinned O(n^2) twin as embedding_near_dup — it exists to
+    # make the approximate path driver-checkable at small sf; the raw
+    # LSH/IVF subtrees inside these plans remain bucket-joined.
+    "ann_lsh_cosine",
+    "ann_ivf_cosine",
 }
 
 QUERIES = sorted(entrymod.queries().items())

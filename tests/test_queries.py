@@ -83,29 +83,52 @@ def test_query_matches_duckdb(spark, duck, name):
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_queries_run(spark, name):
     df = ALL[name](spark, SF_DIR)
-    n = df.count()
-    assert n >= 0
+    pdf = df.toPandas()
+    assert len(pdf) >= 0
     assert len(df.schema.fields) > 0
+    # Driver-grade canonicalization (r4): the driver's rows-only path does a
+    # pandas sort_values over ALL columns, which raises on unhashable cells
+    # (the CORRECTNESS_r03 multimodal TypeError) — replicate it exactly so
+    # any list/dict-valued output column fails locally first.
+    pdf.sort_values(list(pdf.columns))
 
 
 def test_queries_order_puts_unevidenced_first():
     """The driver harness records at most 50 queries per round (BASELINE.md
-    'Driver harness observations'), so the 10 entries with no driver
-    CORRECTNESS row after r1+r2 MUST stay first in queries() — guard the
-    dict insertion order against accidental reshuffles."""
-    first10 = list(entrymod.queries())[:10]
-    assert first10 == [
-        "struct_udf_stats",
-        "arrow_byte_stats",
-        "pipeline_documents",
-        "minhash_lsh_pairs",
-        "simhash_buckets",
-        "ann_lsh_cosine",
-        "ann_ivf_cosine",
+    'Driver harness observations'), so entries needing fresh driver
+    evidence MUST stay first in queries() — guard the dict insertion order
+    against accidental reshuffles.  r4: the 19 stale-tail entries (last
+    driver rows predate commit 7bd8681), then the re-schema'd multimodal
+    trio, then the newly SQL-oracled minhash/ann entries (VERDICT r03
+    items 1/3/4)."""
+    first25 = list(entrymod.queries())[:25]
+    assert first25 == [
+        "doc_line_metrics",
+        "token_count",
+        "bpe_token_count",
+        "rolling_fingerprint",
+        "quality_score",
+        "lang_stopword_heuristic",
+        "fingerprint",
+        "dedup_exact_docs",
+        "ngram_jaccard_pairs",
+        "boilerplate_tokens",
+        "boilerplate_scalable",
+        "trimmed_mean_grouped_agg",
+        "embedding_norms",
+        "cosine_topk",
+        "embedding_near_dup",
+        "median_stats",
+        "explode_array_funcs",
+        "scalar_udf_vowels",
+        "scalar_iter_udf_density",
         "multimodal_features",
         "multimodal_resize",
         "multimodal_frame_sample",
-    ], first10
+        "minhash_lsh_pairs",
+        "ann_lsh_cosine",
+        "ann_ivf_cosine",
+    ], first25
 
 
 def test_entry_smoke(spark):

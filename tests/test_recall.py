@@ -49,7 +49,9 @@ def test_minhash_lsh_recall_and_precision(spark):
     assert len(exact) > 0, "vacuous: corpus has no J>=0.5 pairs"
     got = {
         (r.d1, r.d2)
-        for r in QM.q_minhash_lsh_pairs(spark, SF_DIR).select("d1", "d2").collect()
+        for r in QM.q_minhash_lsh_candidates(spark, SF_DIR)
+        .select("d1", "d2")
+        .collect()
     }
     recall = len(got & exact) / len(exact)
     precision = len(got & exact) / max(len(got), 1)
@@ -57,6 +59,18 @@ def test_minhash_lsh_recall_and_precision(spark):
     # future re-pins of N_HASHES/N_BANDS
     assert recall >= 0.9, f"recall {recall:.3f} ({len(exact)} true pairs)"
     assert precision >= 0.8, f"precision {precision:.3f} ({len(got)} candidates)"
+    # r4: the REGISTERED minhash query (candidates -> exact-Jaccard
+    # verification) must equal the exact pair set at this scale — that is
+    # precisely the condition under which its DuckDB oracle hash-matches
+    # at the driver, so pin it here with a readable failure first.
+    verified = {
+        (r.d1, r.d2)
+        for r in QM.q_minhash_lsh_pairs(spark, SF_DIR).select("d1", "d2").collect()
+    }
+    assert verified == exact, (
+        f"verified minhash != exact at sf0.01: missing {exact - verified}, "
+        f"spurious {verified - exact} — the driver oracle row will go red"
+    )
 
 
 def test_ivf_recall_vs_exact_cosine(spark):
@@ -99,8 +113,24 @@ def test_ivf_recall_vs_exact_cosine(spark):
     n = v.count()
     all_pairs = n * (n - 1) // 2
     assert recall >= 0.7, f"IVF recall {recall:.3f} ({len(true_pairs)} true)"
-    assert len(got) < all_pairs * 0.05, (
-        f"candidate volume {len(got)} not cell-bounded vs {all_pairs} all-pairs"
+    # Candidate volume must be bounded PRE-filter (ADVICE r03): sum over
+    # cells of n_c*(n_c-1)/2 from the assignment frame measures candidates
+    # GENERATED — a degenerate codebook funnelling most vectors into shared
+    # cells would do near all-pairs exact-cosine work yet still emit few
+    # pairs past the cos>=0.3 gate, so the old post-filter bound was blind
+    # to it. (Upper bound: pairs meeting in multiple probed cells count
+    # once per shared cell here, so this over-counts — fine for a bound.)
+    cell_sizes = (
+        QM._ivf_assign(spark, SF_DIR).groupBy("cell").count().collect()
+    )
+    generated = sum(r["count"] * (r["count"] - 1) // 2 for r in cell_sizes)
+    # Expected ratio for a healthy codebook ~ nprobe^2/K = 16/64 = 0.25 of
+    # all-pairs at this sandbox K (at production K ~ sqrt(n) it shrinks to
+    # ~nprobe^2/sqrt(n)); a degenerate codebook funnels everything into a
+    # few cells and the ratio jumps to ~1-4. Gate midway at 0.5.
+    assert generated < all_pairs * 0.5, (
+        f"generated candidate volume {generated} not cell-bounded vs "
+        f"{all_pairs} all-pairs (degenerate codebook?)"
     )
 
 
