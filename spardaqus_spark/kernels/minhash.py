@@ -1,0 +1,123 @@
+"""Vectorized per-doc MinHash signature kernel (r4).
+
+Replaces the JVM shingle-explode + groupBy construction inside
+queries_ml.q_minhash_lsh_candidates. Why: the 5-char-shingle explode is
+the measured floor of the minhash path (sf0.1: 2.07 s of the 2.5 s
+signature stage is the 1M-row substr explode; BENCH/BASELINE.md r4), and
+the groupBy(doc_id) behind it is a full corpus-width SHUFFLE. This kernel
+computes all 16 lanes per document inside one streaming mapInPandas pass:
+
+    flat uint32 view of every (normalized) doc in the Arrow batch
+    -> numpy sliding 5-char windows (zero-copy stride trick)
+    -> wrapping-uint64 polynomial key per window (char-exact: the SAME
+       5-char shingle universe as queries_ml._shingles / the DuckDB
+       verification oracle)
+    -> SplitMix64 finalizer (strong base hash)
+    -> 16 independent multiply-shift lanes, per-doc min via
+       np.minimum.reduceat over the segment offsets
+
+No explode, no shuffle, no per-row Python over characters — at corpus
+scale the signature stage becomes a NARROW streaming map (content crosses
+Arrow once per batch, transiently; nothing is materialized, which is what
+killed the r3 persist-barrier A/B variant).
+
+Statistics calibration (sf0.01, exact 5-char-shingle Jaccard >= 0.5,
+25 true pairs): recall 1.0, precision 0.862, background lane-match rate
+0.098 =~ the corpus' background Jaccard — the estimator is unbiased.
+Two REJECTED lane constructions, kept for the record (both measured on
+the same corpus): (a) smix(key ^ lane_seed) — lanes correlate through the
+shared xor/mix structure, est_jaccard inflates, precision 0.09; (b) a
+2-round mix — precision 0.28. Independent multiply-shift (h_i = smix(key
+* A_i + B_i), A_i odd) is the form whose lanes behave like independent
+permutations. (This mirrors the r1->r2 lesson: per-seed string hashes
+xxhash64(s, i) correlate too.)
+
+Lane constants are HARDCODED literals (seeded-RNG output, numpy
+generator-stability is not a contract we want signatures to depend on).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+K = 5          # shingle width (chars) — pinned with queries_ml._shingles
+LANES = 16     # minhash permutations — pinned with queries_ml.N_HASHES
+
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_M2 = np.uint64(0x94D049BB133111EB)
+
+# polynomial powers of the FNV prime, computed mod 2^64 with Python ints
+# (np.uint64(P) ** 4 silently overflows through Python int conversion and
+# collapsed the key space to 114 values in the first prototype; scalar
+# wrapping multiplication works but raises RuntimeWarning)
+_P = 1099511628211
+_PW = np.array(
+    [pow(_P, e, 1 << 64) for e in range(K - 1, -1, -1)], dtype=np.uint64
+)
+
+# independent multiply-shift lane constants (A odd), literal-pinned
+_A = np.array([
+    0x8AF30906B5EB8C6F, 0x40C3B7C964B073D7, 0x47EB28A6B78AACB1,
+    0x4666887128686837, 0xCDAE6A4CC866938B, 0xDC02C6322B3C6B97,
+    0xFFF8D3028B190563, 0xC19775980E7DC30B, 0x171758FE3292B693,
+    0x225CF838322AC3C1, 0xCF92943A20B135FD, 0x99C5A93B24FB517B,
+    0x81A146C2C8B028F7, 0x0CEBC6B5A1DA4C73, 0x439B53E1AF4BA3F1,
+    0xBC76EEE0A9F17CC7,
+], dtype=np.uint64)
+_B = np.array([
+    0x025217D72083268D, 0x4F2FE68DD8B3BBAE, 0x416C476647DA0D76,
+    0x0D616EB4A99DCFB2, 0x0384793CB339D41E, 0x3CD883E3D2C54047,
+    0x4712F41F51981401, 0x695102698DCFE161, 0x289230FD6ED5B48A,
+    0x0DA8388BEEE0431E, 0x361EF26CAC1D7E9D, 0x6BA55CDE4AF9096A,
+    0x5974C301A95E4536, 0x223A22B8134CCCD3, 0x74BD661E926084B0,
+    0x77595902E5C6E518,
+], dtype=np.uint64)
+
+
+def _smix(x: np.ndarray) -> np.ndarray:
+    """Canonical SplitMix64 finalizer (all three rounds — dropping one
+    measurably weakens lane independence, see module docstring)."""
+    z = x + _GOLD
+    z = (z ^ (z >> np.uint64(30))) * _M1
+    z = (z ^ (z >> np.uint64(27))) * _M2
+    return z ^ (z >> np.uint64(31))
+
+
+def signatures(texts) -> np.ndarray:
+    """(n,) pre-NORMALIZED strings -> int64[n, LANES] minhash signatures.
+
+    Normalization (lowercase, \\s+ -> ' ') happens Spark-side so the pin
+    stays in one place (queries_ml._shingles' norm expression). A doc
+    shorter than K chars (incl. empty) contributes exactly one window of
+    its chars zero-padded to K — deterministic, mirroring _shingles'
+    whole-string shingle for short docs.
+    """
+    # one flat uint32 (UTF-32-LE code point) view of the whole batch, with
+    # K pad chars per doc so every doc admits >= 1 full window and long
+    # docs' windows never cross into a neighbor
+    pad = b"\x00" * (4 * K)
+    bufs = [t.encode("utf-32-le") + pad for t in texts]
+    n = len(bufs)
+    nchar = np.fromiter(
+        ((len(b) - 4 * K) // 4 for b in bufs), dtype=np.int64, count=n
+    )
+    flat = np.frombuffer(b"".join(bufs), dtype=np.uint32)
+    off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(nchar + K, out=off[1:])
+    nwin = np.maximum(nchar - (K - 1), 1)
+    cum = np.zeros(n, dtype=np.int64)
+    np.cumsum(nwin[:-1], out=cum[1:])
+    starts = np.repeat(off[:-1], nwin) + (
+        np.arange(int(nwin.sum()), dtype=np.int64) - np.repeat(cum, nwin)
+    )
+    w = np.lib.stride_tricks.sliding_window_view(flat, K)[starts].astype(
+        np.uint64
+    )
+    keys = _smix(w @ _PW)
+    out = np.empty((n, LANES), dtype=np.int64)
+    for i in range(LANES):
+        out[:, i] = np.minimum.reduceat(
+            _smix(keys * _A[i] + _B[i]), cum
+        ).view(np.int64)
+    return out

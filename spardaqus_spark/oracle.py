@@ -72,8 +72,15 @@ def boilerplate_frac(
     bit-identical, no rounding. Input contract: (repo, path, commit) are
     NON-NULL (the files table's primary key) — pandas groupby drops
     NaN keys while Spark's groupBy keeps them, so a null key would
-    diverge the twins (code-review r3)."""
+    diverge the twins (code-review r3). Returns a POSITIONALLY aligned
+    series (RangeIndex) — callers assign via .to_numpy()."""
     key = ["repo", "path", "commit"]
+    # ADVICE r03: a concatenated/sliced input with duplicate index labels
+    # makes the reindex() token->row alignment below raise ValueError
+    # (reindex refuses non-unique targets) even though the Spark stage
+    # handles identical data — normalize to a unique RangeIndex first,
+    # mirroring score_scrub's reset_index on content.
+    df = df.reset_index(drop=True)
     toks = (
         df["content"]
         .fillna("")

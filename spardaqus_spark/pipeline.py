@@ -166,10 +166,18 @@ def run(
         # column) — reading the sink root would build a FileIndex over the
         # whole run history, making resume cost grow with total history
         # instead of the resumed fraction (code-review r3 #2).
+        # Which dirs exist is derived from the KEPT counts, never from a
+        # filesystem probe (ADVICE r03: pathlib .exists() is always False
+        # on hdfs://s3a:// sinks, which would fabricate a phantom total
+        # write loss; the streaming path pioneered this design). A bucket
+        # with kept rows whose dir is missing is a REAL write loss and the
+        # unguarded read below fails the run loudly, as it should.
+        kept_buckets = sorted(
+            int(r["bucket"])
+            for r in clean.select("bucket").distinct().collect()
+        )
         bucket_dirs = [
-            str(Path(out_path) / f"bucket={b}")
-            for b in sorted(processed)
-            if (Path(out_path) / f"bucket={b}").exists()
+            f"{out_path.rstrip('/')}/bucket={b}" for b in kept_buckets
         ]
         if bucket_dirs:
             per_bucket = (

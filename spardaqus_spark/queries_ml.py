@@ -47,21 +47,42 @@ def _shingles(df: DataFrame, k: int = 5) -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """doc_id, sig: array<bigint> of N_HASHES min-hashes. One shuffle
-    (groupBy doc_id). The variable-length shingle STRING is hashed once
-    (xxhash64); the N_HASHES permutations then mix that fixed-width long
-    with the seed (xxhash64(h0, i)) — the standard one-strong-hash +
-    k-universal-mix construction. At corpus scale this turns 16 string
-    hashes per shingle into 1 string hash + 16 long mixes (the string
-    hash is O(len); the long mix is O(1))."""
-    sh = _shingles(docs).select(
-        "doc_id", F.xxhash64("shingle").alias("h0")
-    )
-    mins = [
-        F.min(F.xxhash64(F.col("h0"), F.lit(i))).alias(f"h{i}")
-        for i in range(N_HASHES)
-    ]
-    agg = sh.groupBy("doc_id").agg(*mins)
+    """doc_id, sig: array<bigint> of N_HASHES min-hashes — ZERO shuffles
+    (r4). One streaming mapInPandas computes every lane per doc with the
+    vectorized kernel (kernels/minhash: flat uint32 view -> sliding
+    5-char windows -> polynomial key -> SplitMix64 -> 16 independent
+    multiply-shift lanes -> per-doc minimum.reduceat). The r1-r3 JVM form
+    (shingle substr explode -> xxhash64 -> groupBy(doc_id) 16-way min agg)
+    was the measured floor of the minhash path — sf0.1: 2.07 s of its
+    2.5 s was the 1M-row explode, plus a full corpus-width shuffle for
+    the agg; the kernel does the same work in ~0.4 s single-core and the
+    shuffle disappears entirely (signatures become a narrow map, so at
+    100 TB the only minhash shuffle left is the band-bucket join).
+    Content crosses Arrow once per batch, transiently — NOT the 8x-bytes
+    materialization that killed the r3 persist-barrier variant.
+    Statistics re-calibrated sf0.01 (tests/test_recall.py): recall 1.0,
+    precision 0.862 vs exact 5-char-shingle Jaccard >= 0.5."""
+    import pandas as pd
+
+    from .kernels import minhash as mh
+    from .session import ship_package
+
+    ship_package(docs.sparkSession)
+    norm = F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")
+    d = docs.select("doc_id", norm.alias("t"))
+    cols = ", ".join(f"h{i} bigint" for i in range(N_HASHES))
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            sig = mh.signatures(pdf["t"].tolist())
+            out = pd.DataFrame({"doc_id": pdf["doc_id"]})
+            for i in range(N_HASHES):
+                out[f"h{i}"] = sig[:, i]
+            yield out
+
+    agg = d.mapInPandas(fn, f"doc_id bigint, {cols}")
     return agg.select(
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(N_HASHES)]).alias("sig")
     )
@@ -163,8 +184,20 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales: candidates are band-bucket-bounded and the verification join
     touches only candidate docs' shingles."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    cand = q_minhash_lsh_candidates(spark, sf_dir).select("d1", "d2")
-    sh = _shingles(docs)
+    # candidates feed THREE consumers below (two cand_docs legs + the
+    # verification join) — persist the tiny pair list so the signature
+    # kernel + band join subtree is computed once, not three times
+    cand = q_minhash_lsh_candidates(spark, sf_dir).select("d1", "d2").persist()
+    # shingle ONLY the docs that appear in some candidate pair (semi-join
+    # prune): verification work scales with the candidate set, not the
+    # corpus — measured sf0.1: full-corpus shingling made verification
+    # ~2 s on top of candidates; pruned it touches ~1/5 of the docs.
+    cand_docs = (
+        cand.select(F.col("d1").alias("doc_id"))
+        .unionByName(cand.select(F.col("d2").alias("doc_id")))
+        .distinct()
+    )
+    sh = _shingles(docs.join(cand_docs, "doc_id", "left_semi"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     # exact intersection only for candidate pairs: fan out each pair to
     # d1's shingles, then equi-join on (d2, shingle). Both joins shuffle

@@ -406,6 +406,101 @@ ORDER BY d.doc_id
 """.replace("@COMPONENTS", _COMPONENT_CTES)
 
 
+def q_near_dup_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup ANALYTICS (r4): are near-dup pairs intra-source or
+    cross-source? This single number decides the dedup sharding strategy
+    at 100 TB — if dups were source-local the pair generation could run
+    source-partitioned (an embarrassingly parallel dedup per source);
+    measured here they are 24/25 CROSS-source, which is precisely why the
+    pipeline's near-dedup operators shuffle on content-derived keys
+    (bands/shingles) instead of source. Plan shape: the tiny pair list
+    joins the doc->source dim twice (AQE broadcasts the pair side)."""
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    da = docs.select(F.col("doc_id").alias("d1"), F.col("source").alias("s1"))
+    db = docs.select(F.col("doc_id").alias("d2"), F.col("source").alias("s2"))
+    return (
+        pairs.join(da, "d1")
+        .join(db, "d2")
+        .groupBy((F.col("s1") == F.col("s2")).alias("same_source"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg("jaccard"), 4).alias("avg_jaccard"),
+        )
+        .orderBy("same_source")  # 2-row agg: stable tiny sort
+    )
+
+
+SQL_NEAR_DUP_SOURCE_STATS = r"""
+WITH @CTES, pj AS (
+  SELECT d1, d2,
+         ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = d1
+  JOIN sizes sb ON sb.doc_id = d2
+  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= @TAU
+)
+SELECT da.source = db.source AS same_source,
+       COUNT(*) AS n_pairs,
+       ROUND(AVG(jaccard), 4) AS avg_jaccard
+FROM pj
+JOIN documents da ON da.doc_id = pj.d1
+JOIN documents db ON db.doc_id = pj.d2
+GROUP BY 1 ORDER BY 1
+""".replace("@CTES", _NGRAM_CTES).replace("@TAU", str(NEAR_DUP_TAU))
+
+
+def q_embedding_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style EMBEDDING near-dup removal (r4): exact cosine pairs
+    (>= 0.35, the pinned data-calibrated threshold of
+    q_embedding_near_dup) -> connected components -> keep each
+    component's minimum vec_id plus every untouched vector — the
+    embedding-space twin of q_near_dedup_keep, completing the dedup
+    family (exact text / ngram text / sketch text / embedding). sf0.01:
+    338 touched vectors in 75 components, 263 dropped, 237 kept.
+
+    The registered form consumes the PINNED exact pair twin so the DuckDB
+    recursive-CTE oracle verifies the whole pairs->components->keep chain
+    end-to-end; at corpus scale the pair source swaps to the IVF/LSH
+    candidates (identical downstream composition — graphops components
+    are O(log n) rounds either way)."""
+    from .operators.graphops import connected_components
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    pairs = q_embedding_near_dup(spark, sf_dir).select("v1", "v2")
+    labels = connected_components(pairs, src="v1", dst="v2")
+    losers = labels.filter(F.col("v") != F.col("lbl")).select(
+        F.col("v").alias("vec_id")
+    )
+    return emb.join(losers, "vec_id", "left_anti")
+
+
+SQL_EMB_DEDUP_KEEP = """
+WITH RECURSIVE v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+           FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(range(1, len(a.dv) + 1), i -> a.dv[i] * b.dv[i]))
+        / (sqrt(list_sum(list_transform(a.dv, x -> x * x)))
+           * sqrt(list_sum(list_transform(b.dv, x -> x * x)))) >= 0.35
+), edges AS (
+  SELECT v1 AS s, v2 AS t FROM pairs UNION ALL SELECT v2, v1 FROM pairs
+), verts AS (
+  SELECT DISTINCT s AS vv FROM edges
+), reach AS (
+  SELECT vv AS v, vv AS r FROM verts
+  UNION
+  SELECT e.t AS v, reach.r FROM reach JOIN edges e ON e.s = reach.v
+), mins AS (
+  SELECT v, MIN(r) AS rep FROM reach GROUP BY v
+)
+SELECT e.vec_id, e.label
+FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT v FROM mins WHERE v <> rep)
+"""
+
+
 def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based train/val split — the assignment step a
     training-data pipeline runs after filtering: each doc's split is a

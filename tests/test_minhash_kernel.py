@@ -1,0 +1,56 @@
+"""Unit gates for the r4 minhash signature kernel (kernels/minhash):
+batch-composition invariance is the load-bearing property — a doc's
+signature must depend only on its own text, never on its neighbors in
+the Arrow batch (the flat-buffer offset math is where that would break).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from spardaqus_spark.kernels import minhash as mh
+
+DOCS = [
+    "the quick brown fox jumps over the lazy dog",
+    "pack my box with five dozen liquor jugs",
+    "",
+    "ab",
+    "日本語のテキストも正しく扱えること",  # multi-byte chars: char-exact windows
+    "the quick brown fox jumps over the lazy dog",
+]
+
+
+def test_batch_composition_invariance():
+    whole = mh.signatures(DOCS)
+    singles = np.vstack([mh.signatures([d]) for d in DOCS])
+    assert (whole == singles).all()
+    # and any reordering/slicing
+    rev = mh.signatures(DOCS[::-1])
+    assert (rev == whole[::-1]).all()
+
+
+def test_identical_docs_identical_signatures():
+    s = mh.signatures(DOCS)
+    assert (s[0] == s[5]).all()
+    assert not (s[0] == s[1]).all()
+
+
+def test_short_and_empty_docs_defined_and_deterministic():
+    a = mh.signatures(["", "a", "ab", "abcd"])
+    b = mh.signatures(["", "a", "ab", "abcd"])
+    assert (a == b).all()
+    assert a.shape == (4, mh.LANES)
+    # an empty doc and a 1-char doc must not share a signature (their
+    # single padded windows differ)
+    assert not (a[0] == a[1]).all()
+
+
+def test_near_dup_docs_share_most_lanes():
+    base = "def build(self, config):\n    return self.render(config, strict=True)\n" * 8
+    variant = base.replace("strict=True", "strict=False", 1)
+    unrelated = "SELECT d1, d2 FROM pairs JOIN sizes USING (doc_id)" * 10
+    s = mh.signatures([base, variant, unrelated])
+    near = (s[0] == s[1]).mean()
+    far = (s[0] == s[2]).mean()
+    assert near >= 0.5, f"near-dup lane agreement {near}"
+    assert far <= 0.25, f"unrelated lane agreement {far}"

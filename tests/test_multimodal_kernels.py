@@ -97,3 +97,42 @@ def test_median_even_odd_exact():
     lens, feat = mm.byte_moment_features([bytes([1, 2, 3, 4]), bytes([9, 5, 7])])
     assert feat[0][2] == 2.5
     assert feat[1][2] == 7.0
+
+
+def test_decode_seam_raises_without_codec():
+    """The decode slot must fail LOUDLY when no codec library exists —
+    never silently fall back (the deterministic byte-stat stand-in is an
+    explicit, documented choice in the queries, not a hidden default)."""
+    import importlib.util
+
+    import pytest as _pytest
+
+    from spardaqus_spark import queries_ml as QM
+
+    if importlib.util.find_spec("PIL") is not None:
+        _pytest.skip("codec present; covered by test_decode_seam_with_codec")
+    with _pytest.raises(NotImplementedError):
+        QM.try_decode_image(b"\x89PNG\r\n\x1a\n")
+
+
+def test_decode_seam_with_codec():
+    """VERDICT r03 item 7: if an image codec ever appears in this
+    environment, the decode path gets exercised for real — a 1x1 PNG
+    built from raw bytes must round-trip through try_decode_image."""
+    import importlib.util
+
+    import pytest as _pytest
+
+    if importlib.util.find_spec("PIL") is None:
+        _pytest.skip("no image codec in this environment (task brief)")
+
+    import io
+
+    from PIL import Image
+
+    from spardaqus_spark import queries_ml as QM
+
+    buf = io.BytesIO()
+    Image.new("RGB", (1, 1), (255, 0, 0)).save(buf, format="PNG")
+    img = QM.try_decode_image(buf.getvalue())
+    assert img.size == (1, 1)

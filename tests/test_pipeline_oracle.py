@@ -277,3 +277,20 @@ def test_weighted_grammar_validation():
         PipelineConfig(rules=(), verdict="weighted_sum>oops")
     r = Rule("ok", "ppl", "<=", 400.0, action="weight:2.5")
     assert r.weight == 2.5
+
+
+def test_boilerplate_oracle_accepts_duplicate_index(corpus_pdf):
+    """ADVICE r03: a concatenated/sliced input frame with non-unique index
+    labels must not crash the pandas twin (reindex raises ValueError on
+    duplicate targets) — and must give the same values as the same rows
+    with a clean index."""
+    import pandas as pd
+
+    from spardaqus_spark.oracle import boilerplate_frac
+
+    inp = corpus_pdf[["repo", "path", "commit", "lang", "content"]].head(200)
+    dup = pd.concat([inp.head(100), inp.tail(100)])
+    dup.index = [0] * 100 + list(range(100))  # heavily duplicated labels
+    got = boilerplate_frac(dup)
+    ref = boilerplate_frac(inp.reset_index(drop=True))
+    assert (got.to_numpy() == ref.to_numpy()).all()

@@ -1,0 +1,100 @@
+"""JVM-default-timezone probe (VERDICT r03 item 5 / CLAUDE.md residual).
+
+The r3 work verified the four time-bucket queries hash-match the naive
+DuckDB oracle under a non-UTC spark.sql.session.timeZone (Spark 4's
+date_trunc/window are NTZ-native).  The untested residual was a JVM
+started with a non-UTC -Duser.timezone — the zone java.time falls back to
+BELOW the session conf.  This test closes it: a FRESH Spark JVM (separate
+subprocess so the shared test session's gateway is untouched) is launched
+with -Duser.timezone=America/New_York AND session timeZone
+America/New_York — the worst case on both layers — and the four queries
+must still exactly match DuckDB computing on naive timestamps.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+_SCRIPT = r"""
+import sys
+
+sys.path.insert(0, {repo!r})
+import math
+
+import duckdb
+import pandas as pd
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+QUERIES = ["date_trunc_monthly", "tumbling_hourly", "sliding_windows", "sessionize"]
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName("tz-probe")
+    # the probe target: JVM default zone != UTC (driver == executor JVM in
+    # local mode, so this covers the worker side too)
+    .config("spark.driver.extraJavaOptions", "-Duser.timezone=America/New_York")
+    .config("spark.sql.session.timeZone", "America/New_York")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+jvm_tz = spark._jvm.java.util.TimeZone.getDefault().getID()
+assert jvm_tz == "America/New_York", f"probe setup failed: JVM tz {{jvm_tz}}"
+
+con = duckdb.connect()
+for t in ["orders", "events", "lineitem", "customer"]:
+    con.execute(
+        f"CREATE VIEW {{t}} AS SELECT * FROM read_parquet('{{SF_DIR}}/{{t}}.parquet')"
+    )
+
+
+def canon_cell(v):
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "NULL"
+    if isinstance(v, float):
+        return f"{{v:.4f}}"
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    return str(v)
+
+
+def canon(pdf):
+    cols = sorted(pdf.columns)
+    return sorted(
+        "|".join(canon_cell(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
+    )
+
+
+qmap = entrymod.queries()
+osql = entrymod.oracle_sql()
+for name in QUERIES:
+    got = qmap[name](spark, SF_DIR).toPandas()
+    exp = con.execute(osql[name]).df()
+    assert sorted(got.columns) == sorted(exp.columns), f"{{name}}: columns"
+    assert canon(got) == canon(exp), f"{{name}}: values diverge under JVM tz"
+    print(f"{{name}}: OK ({{len(got)}} rows)", flush=True)
+print("TZ_PROBE_PASS")
+spark.stop()
+"""
+
+
+def test_time_queries_survive_non_utc_jvm_default_zone():
+    proc = subprocess.run(
+        [sys.executable, "-c", _SCRIPT.format(repo=str(REPO))],
+        capture_output=True,
+        text=True,
+        timeout=540,
+        cwd=str(REPO),
+    )
+    assert proc.returncode == 0 and "TZ_PROBE_PASS" in proc.stdout, (
+        f"stdout:\n{proc.stdout[-3000:]}\nstderr:\n{proc.stderr[-3000:]}"
+    )
