@@ -78,6 +78,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": QM.q_minhash_lsh_pairs,
         "ann_lsh_cosine": QM.q_ann_lsh_checked,
         "ann_ivf_cosine": QM.q_ann_ivf_checked,
+        # --- new ops this round (need first driver rows) ---
+        "near_dup_source_stats": QT.q_near_dup_source_stats,
+        "embedding_dedup_keep": QT.q_embedding_dedup_keep,
         # --- green in CORRECTNESS_r03: relational core (star schema) ---
         "pricing_summary": Q.q_pricing_summary,
         "top_revenue_orders": Q.q_top_revenue_orders,
@@ -200,6 +203,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": QM.SQL_MINHASH_VERIFIED,
         "ann_lsh_cosine": QM.SQL_ANN_CHECKED,
         "ann_ivf_cosine": QM.SQL_ANN_CHECKED,
+        "near_dup_source_stats": QT.SQL_NEAR_DUP_SOURCE_STATS,
+        "embedding_dedup_keep": QT.SQL_EMB_DEDUP_KEEP,
         # pipeline_documents / simhash_buckets / cardinality_sketches /
         # multimodal_*: intentionally omitted — model- or sketch-backed,
         # not ANSI-SQL-expressible (SURVEY §3.2).

@@ -161,3 +161,13 @@ def test_new_training_ops_nonvacuous(spark):
     by = st.groupby("lang")["kept"].mean()
     assert by["en"] < 0.45          # en downsampled toward 25%
     assert (by.drop("en") > 0.55).all()  # others toward 75%
+
+    # r4 ops: both sides of the source-locality split populated, and the
+    # embedding keep-list strictly between "kept nothing" and "kept all"
+    src = ALL["near_dup_source_stats"](spark, SF_DIR).toPandas()
+    assert set(src["same_source"]) == {True, False}
+    assert src["n_pairs"].sum() >= 20
+
+    keep = ALL["embedding_dedup_keep"](spark, SF_DIR).toPandas()
+    assert 0 < len(keep) < 500
+    assert keep["vec_id"].is_unique
