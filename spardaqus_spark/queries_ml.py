@@ -14,6 +14,15 @@ not ANSI-SQL-expressible (driver records rows-only checks — SURVEY.md §3.2).
 All sketches are computed with JVM-side functions where possible
 (xxhash64 on shingles, bit ops) — Python only where the semantics demand
 vectorized NumPy (the pipeline models).
+
+r4 update: most of this surface is now DRIVER-CHECKED rather than
+rows-only — the registered minhash entry is the verified pipeline
+(candidates + exact-Jaccard verification, hash-matched against an
+all-pairs exact oracle), the registered ann entries are soundness-checked
+(exact-set ∪ violations vs an exact-cosine oracle), multimodal outputs
+are scalar columns the canonicalizer can sort, and minhash signatures
+moved to a zero-shuffle vectorized kernel (kernels/minhash) after the
+JVM explode+agg form measured as the path's floor.
 """
 
 from __future__ import annotations
