@@ -206,7 +206,12 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cand.select(F.col("d2").alias("doc_id")))
         .distinct()
     )
-    sh = _shingles(docs.join(cand_docs, "doc_id", "left_semi"))
+    # sh feeds three consumers (sizes + both intersection legs) — persist
+    # the pruned shingle rows so the semi-join + explode subtree plans
+    # once, not three times (the ngram_jaccard multi-consumer lesson);
+    # the cache is candidate-doc shingles only, strictly smaller than the
+    # candidate docs' text.
+    sh = _shingles(docs.join(cand_docs, "doc_id", "left_semi")).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     # exact intersection only for candidate pairs: fan out each pair to
     # d1's shingles, then equi-join on (d2, shingle). Both joins shuffle
