@@ -16,6 +16,10 @@ QUERIES = (
     "region_revenue",
     "skew_salted_join",
     "salted_two_phase_agg",
+    # r4: the registered minhash entry is the VERIFIED form; the raw
+    # candidate generator (the scale path, zero-shuffle kernel signatures)
+    # is planned separately below via EXTRA.
+    "minhash_lsh_candidates",
     "minhash_lsh_pairs",
     "dedup_exact_docs",
     "boilerplate_scalable",
@@ -27,6 +31,8 @@ QUERIES = (
     "stratified_sample",
     "ann_lsh_cosine",
     "ann_ivf_cosine",
+    "near_dup_source_stats",
+    "embedding_dedup_keep",
 )
 
 
@@ -69,7 +75,9 @@ def main() -> None:
     )
     out.write("```\n" + fmt(clean) + "\n```\n")
 
-    qs = E.queries()
+    from spardaqus_spark import queries_ml as QM
+
+    qs = {**E.queries(), "minhash_lsh_candidates": QM.q_minhash_lsh_candidates}
     for name in QUERIES:
         out.write(f"\n## {name}\n\n```\n" + fmt(qs[name](spark, sf)) + "\n```\n")
 
