@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new ops this round (need first driver rows) ---
         "near_dup_source_stats": QT.q_near_dup_source_stats,
         "embedding_dedup_keep": QT.q_embedding_dedup_keep,
+        "corpus_build": QT.q_corpus_build,
         # --- green in CORRECTNESS_r03: relational core (star schema) ---
         "pricing_summary": Q.q_pricing_summary,
         "top_revenue_orders": Q.q_top_revenue_orders,
@@ -205,6 +206,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_cosine": QM.SQL_ANN_CHECKED,
         "near_dup_source_stats": QT.SQL_NEAR_DUP_SOURCE_STATS,
         "embedding_dedup_keep": QT.SQL_EMB_DEDUP_KEEP,
+        "corpus_build": QT.SQL_CORPUS_BUILD,
         # pipeline_documents / simhash_buckets / cardinality_sketches /
         # multimodal_*: intentionally omitted — model- or sketch-backed,
         # not ANSI-SQL-expressible (SURVEY §3.2).

@@ -596,6 +596,82 @@ FROM c GROUP BY source, bin ORDER BY source, bin
 """
 
 
+def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-corpus build (r4): the full declarative chain a
+    pretraining data pipeline actually runs, composed from this module's
+    pinned operators in ONE Spark plan —
+
+        near-dedup removal  (ngram pairs -> connected components ->
+                             keep min-id representative per cluster)
+        -> stratified sampling (per-lang md5 hex rates: en 25%, rest 75%)
+        -> sequence packing    (2048-token bins per source, exclusive
+                                running sum, distributed per-source sort)
+
+    emitted at the (source, bin) grain like q_sequence_packing so the
+    DuckDB oracle (recursive-CTE keep-list + the same sampling predicate
+    + the same window packer) value-checks every stage's interaction:
+    a drift anywhere — dedup graph, sampling hash, tokenizer, bin
+    boundary — shifts downstream rows and breaks the hash. Scale shape is
+    the sum of its parts, all previously argued: bucketed pair join +
+    O(log n) components, narrow sampling projection, one window shuffle
+    keyed by source."""
+    budget = 2048
+    docs = load(spark, sf_dir, "documents").select(
+        "source", "doc_id", "lang", "text"
+    )
+    kept = docs.join(q_near_dedup_keep(spark, sf_dir), "doc_id", "left_semi")
+    h = F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    thr = F.when(F.col("lang") == "en", F.lit("40")).otherwise(F.lit("c0"))
+    sampled = kept.filter(F.substring(h, 1, 2) < thr)
+    toks = F.size(F.array_remove(F.split(F.col("text"), BOILERPLATE_WS), ""))
+    d = sampled.select("source", "doc_id", toks.cast("long").alias("n_tok"))
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    binned = d.withColumn(
+        "bin", F.floor(cum_excl / F.lit(float(budget))).cast("bigint")
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("tot_tokens"),
+    )
+
+
+SQL_CORPUS_BUILD = r"""
+WITH RECURSIVE @COMPONENTS,
+kept AS (
+  SELECT d.source, d.doc_id, d.lang, d.text
+  FROM documents d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM mins WHERE doc_id <> cluster_rep)
+),
+sampled AS (
+  SELECT source, doc_id, text FROM kept
+  WHERE substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 2)
+        < (CASE WHEN lang = 'en' THEN '40' ELSE 'c0' END)
+),
+t AS (
+  SELECT source, doc_id,
+         CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\r\f\x0B]+'),
+                              x -> x <> '')) AS BIGINT) AS n_tok
+  FROM sampled
+),
+c AS (
+  SELECT source, doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+  FROM t
+)
+SELECT source,
+       CAST(FLOOR(cum_excl / 2048.0) AS BIGINT) AS bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS tot_tokens
+FROM c GROUP BY source, bin
+""".replace("@COMPONENTS", _COMPONENT_CTES)
+
+
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array higher-order functions over embeddings: L2 norm via
     aggregate(zip) — JVM-side, no Python (§2.3 array family)."""
