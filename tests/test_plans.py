@@ -115,3 +115,21 @@ def test_prebucketed_path_salts_and_scores_in_place(spark, files_parquet):
     assert n_exchange == 2  # bucketize repartition + dedup window
     got = v.select("repo", "path", "commit", "keep").toPandas()
     assert len(got) > 0
+
+
+def test_minhash_signatures_zero_shuffle(spark):
+    """r4 contract: the minhash signature stage is a NARROW streaming map
+    (kernels/minhash inside one MapInPandas) — no Exchange may appear in
+    its plan. The r1-r3 shingle-explode + groupBy(doc_id) form shuffled
+    the full corpus at signature time; at 100 TB the only minhash shuffle
+    allowed is the band-bucket self-join downstream."""
+    from spardaqus_spark.queries import load
+    from spardaqus_spark.queries_ml import minhash_signatures
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    plan = _plan(minhash_signatures(docs))
+    assert "MapInPandas" in plan
+    n_exchange = plan.count("+- Exchange") + plan.count(":- Exchange")
+    assert n_exchange == 0, f"signature stage must not shuffle:\n{plan[:1500]}"
