@@ -67,8 +67,10 @@ def host_probe(n_rows: int = 4000) -> dict:
     far less (BENCH/BASELINE.md noise caveat), so a bench JSON whose
     files_per_sec collapses but whose probe is healthy is self-evidently
     a contended session, not a code regression — and vice versa.
-    quiet_ref is the measured quiet-host range for THIS probe (n=4000,
-    single process; see BENCH/BASELINE.md r4)."""
+    Protocol: three warm passes on a slice, then BEST-OF-3 timed full
+    passes with all samples reported. quiet_ref is the measured
+    quiet-host range for THIS protocol (n=4000, single process; see
+    BENCH/BASELINE.md r4)."""
     from spardaqus_spark import fixtures, oracle
     from spardaqus_spark.config import default_config
 

@@ -78,7 +78,12 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
 
     ship_package(docs.sparkSession)
     norm = F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")
-    d = docs.select("doc_id", norm.alias("t"))
+    # NULL text: drop the doc, matching the r1-r3 explode form (NULL
+    # normalizes to NULL -> explode emitted nothing) — and matching the
+    # verification side, where _shingles drops NULL docs too. Without the
+    # filter a None reaches the kernel's .encode and kills the worker
+    # (code-review r4; the synthetic corpora just happen to have no NULLs).
+    d = docs.filter(F.col("text").isNotNull()).select("doc_id", norm.alias("t"))
     cols = ", ".join(f"h{i} bigint" for i in range(N_HASHES))
 
     def fn(batches):
@@ -195,7 +200,14 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     # candidates feed THREE consumers below (two cand_docs legs + the
     # verification join) — persist the tiny pair list so the signature
-    # kernel + band join subtree is computed once, not three times
+    # kernel + band join subtree is computed once, not three times.
+    # Cache lifetime note (code-review r4): like the bands persist inside
+    # the candidates subtree, this is keyed by logical plan — repeated
+    # invocations of the same (query, sf) REUSE the one cache entry, so a
+    # long-lived session (the driver harness runs 50 queries in one) holds
+    # at most one copy of each small subtree; bench clearCache()s between
+    # passes. An in-query unpersist would have to fire before the caller's
+    # action and would defeat the sharing.
     cand = q_minhash_lsh_candidates(spark, sf_dir).select("d1", "d2").persist()
     # shingle ONLY the docs that appear in some candidate pair (semi-join
     # prune): verification work scales with the candidate set, not the
@@ -730,36 +742,15 @@ ANN_TAU = 0.3  # pinned WITH _group_cosine_pairs's rounded >= 0.3 gate
 
 def _exact_cos_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs cosine at the ANN gate (F.round(raw, 4) >= ANN_TAU):
-    the independent reference the checked ANN queries union against.
-    Sequential HOF dot product — NOT the matmul — so the float summation
-    order matches DuckDB's list_sum (the recipe every hash-matching exact
-    embedding twin in queries_text uses). O(n^2) BY DESIGN: this runs only
-    inside the driver-correctness forms at small sf (like the pinned
-    embedding_near_dup twin); the raw LSH/IVF paths are the scale story.
-    Probed sf0.01: 990 pairs at the rounded gate, zero pairs within 1e-9
-    of the 0.29995 cut and zero 4-decimal midpoints — the threshold and
-    the rounding are both float-drift-safe on this corpus."""
-    emb = load(spark, sf_dir, "embeddings")
-    dvec = F.transform("embedding", lambda x: x.cast("double"))
-    v = emb.select("vec_id", dvec.alias("v"))
-    a, b = v.alias("a"), v.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
-    raw = dot / (nrm(F.col("a.v")) * nrm(F.col("b.v")))
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .withColumn("cos", F.round(raw, 4))
-        .filter(F.col("cos") >= ANN_TAU)
-        .select(
-            F.col("a.vec_id").alias("v1"),
-            F.col("b.vec_id").alias("v2"),
-            "cos",
-        )
-    )
+    the independent reference the checked ANN queries union against —
+    delegates to the ONE shared pinned construction
+    (queries_text.exact_cos_pairs; code-review r4 deduplicated three
+    hand copies). Probed sf0.01: 990 pairs at the rounded gate, zero
+    pairs within 1e-9 of the 0.29995 cut and zero 4-decimal midpoints —
+    threshold and rounding are both float-drift-safe on this corpus."""
+    from .queries_text import exact_cos_pairs
+
+    return exact_cos_pairs(spark, sf_dir, ANN_TAU, gate_rounded=True)
 
 
 def _ann_checked(approx: DataFrame, exact: DataFrame) -> DataFrame:
@@ -798,19 +789,12 @@ def q_ann_ivf_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Independent DuckDB exact-cosine twin at the ANN gate — shared by both
-# checked ANN entries (like SQL_BOILERPLATE serves two queries). Gate on
-# ROUND(.,4) >= tau to mirror _group_cosine_pairs / _exact_cos_pairs
+# checked ANN entries (like SQL_BOILERPLATE serves two queries), built
+# from the ONE pinned template (queries_text.COS_PAIRS_SQL). Gate on
+# ROUND(raw, 4) >= tau to mirror _group_cosine_pairs / _exact_cos_pairs
 # exactly (probed: no midpoint or cut-boundary pairs at sf0.01).
-SQL_ANN_CHECKED = """
-WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
-           FROM embeddings),
-p AS (
-  SELECT a.vec_id AS v1, b.vec_id AS v2,
-         ROUND(list_sum(list_transform(range(1, len(a.dv) + 1),
-                    i -> a.dv[i] * b.dv[i]))
-           / (sqrt(list_sum(list_transform(a.dv, x -> x * x)))
-              * sqrt(list_sum(list_transform(b.dv, x -> x * x)))), 4) AS cos
-  FROM v a JOIN v b ON a.vec_id < b.vec_id
+from .queries_text import COS_PAIRS_SQL as _COS_PAIRS_SQL  # noqa: E402
+
+SQL_ANN_CHECKED = _COS_PAIRS_SQL.replace(
+    "@GATE", f"ROUND(raw, 4) >= {ANN_TAU}"
 )
-SELECT v1, v2, cos FROM p WHERE cos >= @TAU
-""".replace("@TAU", str(ANN_TAU))

@@ -450,6 +450,31 @@ GROUP BY 1 ORDER BY 1
 """.replace("@CTES", _NGRAM_CTES).replace("@TAU", str(NEAR_DUP_TAU))
 
 
+# Shared SQL fragments for the exact-cosine twin family — one template,
+# three consumers (SQL_EMB_NEAR_DUP, queries_ml.SQL_ANN_CHECKED, and the
+# dedup-keep pair graph below), composed via .replace() like _NGRAM_CTES
+# (code-review r4: the construction was hand-copied 3x and could drift).
+COS_V_CTE = (
+    "v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    " AS dv\n           FROM embeddings)"
+)
+COS_P_CTE = """p AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2,
+         list_sum(list_transform(range(1, len(a.dv) + 1),
+                    i -> a.dv[i] * b.dv[i]))
+           / (sqrt(list_sum(list_transform(a.dv, x -> x * x)))
+              * sqrt(list_sum(list_transform(b.dv, x -> x * x)))) AS raw
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+)"""
+COS_PAIRS_SQL = """
+WITH @V,
+@P
+SELECT v1, v2, ROUND(raw, 4) AS cos FROM p WHERE @GATE
+""".replace("@V", COS_V_CTE).replace("@P", COS_P_CTE)
+
+SQL_EMB_NEAR_DUP = COS_PAIRS_SQL.replace("@GATE", "raw >= 0.35")
+
+
 def q_embedding_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style EMBEDDING near-dup removal (r4): exact cosine pairs
     (>= 0.35, the pinned data-calibrated threshold of
@@ -476,14 +501,10 @@ def q_embedding_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_EMB_DEDUP_KEEP = """
-WITH RECURSIVE v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
-           FROM embeddings),
+WITH RECURSIVE @V,
+@P,
 pairs AS (
-  SELECT a.vec_id AS v1, b.vec_id AS v2
-  FROM v a JOIN v b ON a.vec_id < b.vec_id
-  WHERE list_sum(list_transform(range(1, len(a.dv) + 1), i -> a.dv[i] * b.dv[i]))
-        / (sqrt(list_sum(list_transform(a.dv, x -> x * x)))
-           * sqrt(list_sum(list_transform(b.dv, x -> x * x)))) >= 0.35
+  SELECT v1, v2 FROM p WHERE raw >= 0.35
 ), edges AS (
   SELECT v1 AS s, v2 AS t FROM pairs UNION ALL SELECT v2, v1 FROM pairs
 ), verts AS (
@@ -498,7 +519,7 @@ pairs AS (
 SELECT e.vec_id, e.label
 FROM embeddings e
 WHERE e.vec_id NOT IN (SELECT v FROM mins WHERE v <> rep)
-"""
+""".replace("@V", COS_V_CTE).replace("@P", COS_P_CTE)
 
 
 def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -696,11 +717,19 @@ FROM embeddings GROUP BY label
 """
 
 
-def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact embedding-cosine near-dup pairs (cos >= 0.35 — the top ~0.1% of the pair-similarity distribution in this corpus, which contains no true dups; threshold is data-calibrated): the oracle-
-    checked baseline for the LSH-bucketed variant (queries_ml
-    q_ann_lsh_cosine). Quadratic by design — at scale the LSH path
-    replaces the cross join; this one pins the semantics."""
+def exact_cos_pairs(
+    spark: SparkSession, sf_dir: str, tau: float, gate_rounded: bool
+) -> DataFrame:
+    """THE pinned exact all-pairs cosine twin, shared by every consumer
+    (q_embedding_near_dup, q_embedding_dedup_keep's pair graph, and the
+    checked-ANN exact side in queries_ml) so the construction cannot
+    drift between them (code-review r4 — it was hand-copied 3x).
+    Sequential HOF dot product: the float summation order matches
+    DuckDB's list_sum, which is what makes the value hashes comparable.
+    gate_rounded=False -> filter the UNROUNDED ratio >= tau (the
+    embedding_near_dup pin); gate_rounded=True -> filter round(raw, 4)
+    >= tau (the _group_cosine_pairs / ANN gate). O(n^2) BY DESIGN —
+    correctness-harness scale only; LSH/IVF are the scale paths."""
     emb = load(spark, sf_dir, "embeddings")
     dvec = F.transform("embedding", lambda x: x.cast("double"))
     v = emb.select("vec_id", dvec.alias("v"))
@@ -712,31 +741,35 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
     raw = dot / (nrm(F.col("a.v")) * nrm(F.col("b.v")))
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .withColumn("raw_cos", raw)
-        .filter(F.col("raw_cos") >= 0.35)
-        .select(
-            F.col("a.vec_id").alias("v1"),
-            F.col("b.vec_id").alias("v2"),
-            F.round("raw_cos", 4).alias("cos"),
+    j = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).withColumn(
+        "raw_cos", raw
+    )
+    if gate_rounded:
+        j = j.withColumn("cos", F.round("raw_cos", 4)).filter(
+            F.col("cos") >= tau
         )
+    else:
+        j = j.filter(F.col("raw_cos") >= tau).withColumn(
+            "cos", F.round("raw_cos", 4)
+        )
+    return j.select(
+        F.col("a.vec_id").alias("v1"),
+        F.col("b.vec_id").alias("v2"),
+        "cos",
     )
 
 
-SQL_EMB_NEAR_DUP = """
-WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
-           FROM embeddings)
-SELECT a.vec_id AS v1, b.vec_id AS v2,
-       ROUND(list_sum(list_transform(range(1, len(a.dv) + 1),
-                  i -> a.dv[i] * b.dv[i]))
-         / (sqrt(list_sum(list_transform(a.dv, x -> x * x)))
-            * sqrt(list_sum(list_transform(b.dv, x -> x * x)))), 4) AS cos
-FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE list_sum(list_transform(range(1, len(a.dv) + 1), i -> a.dv[i] * b.dv[i]))
-      / (sqrt(list_sum(list_transform(a.dv, x -> x * x)))
-         * sqrt(list_sum(list_transform(b.dv, x -> x * x)))) >= 0.35
-"""
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (cos >= 0.35 — the top ~0.1% of the pair-similarity distribution in this corpus, which contains no true dups; threshold is data-calibrated): the oracle-
+    checked baseline for the LSH-bucketed variant (queries_ml
+    q_ann_lsh_cosine). Quadratic by design — at scale the LSH path
+    replaces the cross join; this one pins the semantics."""
+    return exact_cos_pairs(spark, sf_dir, 0.35, gate_rounded=False)
+
+
+# SQL_EMB_NEAR_DUP is defined with the shared COS_* fragment block above
+# q_embedding_dedup_keep (module-order constraint: the dedup-keep SQL
+# composes the same fragments at import time).
 
 
 def q_median_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

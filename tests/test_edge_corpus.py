@@ -133,3 +133,36 @@ def test_sequence_packing_budget_invariant(spark):
     assert (m["tot_tokens"] < 2048 + m["last_tok"]).all()
     # spill really happens at this sf — the bound is non-vacuous
     assert (m["tot_tokens"] > 2048).any()
+
+
+def test_minhash_survives_null_text(spark, tmp_path):
+    """code-review r4: a NULL `text` row must be DROPPED by the kernel
+    signature stage (matching the r1-r3 explode form and the _shingles
+    verification side) — not crash the python worker with
+    NoneType.encode. Two identical docs are planted so the candidate
+    path stays non-vacuous."""
+    d = tmp_path / "nulls"
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "the same text body repeated here for a near dup pair " * 4,
+                "the same text body repeated here for a near dup pair " * 4,
+                None,
+            ],
+            "lang": ["en", "en", "en"],
+            "source": ["s1", "s1", "s1"],
+            "n_chars": [212, 212, 0],
+        }
+    ).to_parquet(d / "documents.parquet", index=False)
+    from spardaqus_spark import queries_ml as QM
+
+    sigs = QM.minhash_signatures(
+        spark.read.parquet(str(d / "documents.parquet")).select("doc_id", "text")
+    ).toPandas()
+    assert sorted(sigs["doc_id"]) == [1, 2]  # null doc dropped, not crashed
+    cand = QM.q_minhash_lsh_candidates(spark, str(d)).toPandas()
+    assert set(zip(cand["d1"], cand["d2"])) == {(1, 2)}
+    verified = QM.q_minhash_lsh_pairs(spark, str(d)).toPandas()
+    assert set(zip(verified["d1"], verified["d2"])) == {(1, 2)}

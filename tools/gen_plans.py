@@ -75,9 +75,11 @@ def main() -> None:
     )
     out.write("```\n" + fmt(clean) + "\n```\n")
 
-    from spardaqus_spark import queries_ml as QM
+    import bench
 
-    qs = {**E.queries(), "minhash_lsh_candidates": QM.q_minhash_lsh_candidates}
+    # single source for internal (non-registered) stages: bench times them,
+    # we plan them — import the same mapping so neither copy goes stale
+    qs = {**E.queries(), **bench._extra_headline()}
     for name in QUERIES:
         out.write(f"\n## {name}\n\n```\n" + fmt(qs[name](spark, sf)) + "\n```\n")
 
