@@ -210,6 +210,111 @@ def stateful_user_totals(events_stream: "DataFrame") -> "DataFrame":
     )
 
 
+def minhash_candidate_stream(docs_stream: "DataFrame") -> "DataFrame":
+    """Streaming near-dup candidate detection (r4): the batch MinHash-LSH
+    path lifted into Structured Streaming — the op an ingestion pipeline
+    needs to flag near-dups AT ARRIVAL instead of in a nightly batch.
+
+    Why this became possible in r4: signatures are a STATELESS narrow map
+    (queries_ml.minhash_signatures, the zero-shuffle kernel) so they run
+    unchanged on a stream; the r1-r3 shingle-explode + groupBy(doc_id)
+    form would have needed a full state-store aggregation just to build
+    sigs. The stateful part is band bucketing: GroupState per
+    (band, band_hash) bucket holds the (doc_id, sig) members seen so far;
+    each arrival emits est_jaccard>=0.5 candidate pairs against existing
+    members (and earlier arrivals in the same batch), then joins the
+    bucket. Append mode: each pair emission is new output.
+
+    Contracts: a pair colliding in multiple bands emits once per
+    colliding band — downstream consumers run the same dropDuplicates
+    the batch path runs (the idempotent-consumer convention). State per
+    bucket is O(members x N_HASHES) longs; production bounds it with a
+    TTL timeout (the same watermark-horizon argument as dedup_stream) —
+    NoTimeout here because the tests replay finite corpora."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..queries_ml import N_BANDS, N_HASHES, minhash_signatures
+
+    rows_per_band = N_HASHES // N_BANDS
+    sig = minhash_signatures(docs_stream.select("doc_id", "text"))
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("sig")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bh"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "sig", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+
+    def fn(key, pdfs, state):
+        # state layout: parallel id list + flattened sig longs (nested
+        # array<array<..>> state round-trips awkwardly through the state
+        # UnsafeRow; flat + N_HASHES stride is unambiguous)
+        if state.exists:
+            ids, flat = state.get
+            old_ids = np.asarray(ids, dtype=np.int64)
+            M = np.asarray(flat, dtype=np.int64).reshape(-1, N_HASHES)
+        else:
+            old_ids = np.empty(0, dtype=np.int64)
+            M = np.empty((0, N_HASHES), dtype=np.int64)
+        id_chunks, sig_chunks = [], []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            id_chunks.append(pdf["doc_id"].to_numpy(dtype=np.int64))
+            sig_chunks.append(np.array(pdf["sig"].tolist(), dtype=np.int64))
+        if not id_chunks:
+            return
+        new_ids = np.concatenate(id_chunks)
+        S_new = np.vstack(sig_chunks)
+        # vectorized pairing (no per-row Python — the kernel lint rule):
+        # every (existing-or-earlier, new) pair's est = lane-agreement mean
+        aid = np.concatenate([old_ids, new_ids])
+        A = np.vstack([M, S_new])
+        n_old = len(old_ids)
+        E = (A[:, None, :] == S_new[None, :, :]).mean(axis=2)
+        gi = np.arange(len(aid))[:, None]
+        gj = n_old + np.arange(len(new_ids))[None, :]
+        keep = (gi < gj) & (E >= 0.5) & (aid[:, None] != new_ids[None, :])
+        ii, jj = np.nonzero(keep)
+        state.update((aid.tolist(), A.ravel().tolist()))
+        if len(ii):
+            yield pd.DataFrame(
+                {
+                    "d1": np.minimum(aid[ii], new_ids[jj]),
+                    "d2": np.maximum(aid[ii], new_ids[jj]),
+                    # np.round is safe here (unlike the matmul cosine
+                    # path): est is always k/16 and 10^4/16 = 625 is an
+                    # integer, so every value is EXACT at 4 decimals —
+                    # no HALF_EVEN/HALF_UP midpoint can occur
+                    "est_jaccard": np.round(E[ii, jj], 4),
+                }
+            )
+
+    return bands.groupBy("band", "bh").applyInPandasWithState(
+        fn,
+        "d1 bigint, d2 bigint, est_jaccard double",
+        "ids array<bigint>, sigs array<bigint>",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def sliding_event_counts(events_stream: "DataFrame") -> "DataFrame":
     """Sliding 10-min window, 5-min slide, past the watermark (§2.8)."""
     from pyspark.sql import functions as F

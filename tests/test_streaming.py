@@ -322,3 +322,54 @@ def test_stateful_user_totals_across_batches(spark, tmp_path):
     # multi-batch evidence: at least one user was emitted twice
     n_rows = spark.sql("SELECT COUNT(*) AS c FROM m_state").collect()[0]["c"]
     assert n_rows > len(exp)
+
+
+def test_minhash_candidate_stream_matches_batch(spark, tmp_path):
+    """r4 streaming near-dup: replaying the corpus through the stateful
+    band-bucket operator in two micro-batches must surface EXACTLY the
+    batch path's candidate pair set (after the documented per-band
+    dedup), with identical est_jaccard values — arrival order must not
+    matter because every pair eventually meets in its shared bucket."""
+    import pandas as pd
+
+    from spardaqus_spark import queries_ml as QM
+
+    sf = "/root/testdata/sf0.01"
+    batch = (
+        QM.q_minhash_lsh_candidates(spark, sf)
+        .toPandas()
+        .sort_values(["d1", "d2"])
+        .reset_index(drop=True)
+    )
+    assert len(batch) > 0, "vacuous: no candidate pairs at sf0.01"
+
+    src = tmp_path / "mh_src"
+    src.mkdir()
+    docs = pd.read_parquet(f"{sf}/documents.parquet")[["doc_id", "text"]]
+    docs.iloc[: len(docs) // 2].to_parquet(src / "a.parquet", index=False)
+    docs.iloc[len(docs) // 2 :].to_parquet(src / "b.parquet", index=False)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        spipe.minhash_candidate_stream(stream)
+        .writeStream.format("memory")
+        .queryName("m_mh")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = (
+        spark.sql(
+            "SELECT DISTINCT d1, d2, est_jaccard FROM m_mh"
+        )  # per-band multi-emission: documented consumer-side dedup
+        .toPandas()
+        .sort_values(["d1", "d2"])
+        .reset_index(drop=True)
+    )
+    assert list(map(tuple, got.to_numpy())) == list(
+        map(tuple, batch[["d1", "d2", "est_jaccard"]].to_numpy())
+    )
