@@ -473,7 +473,6 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     real image/audio decode would slot into `_decode_features` (no codec
     libs in this container, task brief); schema, partitioning, Arrow batch
     shape and UDF signature are the real, tested surface."""
-    import numpy as np
     import pandas as pd
 
     docs = load(spark, sf_dir, "documents")
