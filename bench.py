@@ -78,7 +78,7 @@ def host_probe(n_rows: int = 4000) -> dict:
     cfg = default_config()
     # cold-start (imports, numpy JIT-ish first-touch, model tables) costs
     # 4-7x on the first call — measured 294 -> 578 -> 849 -> ~1.9k rows/s
-    # over successive calls. Three warm passes on a slice, then best-of-2
+    # over successive calls. Three warm passes on a slice, then best-of-3
     # timed full passes = the steady-state serial rate.
     for _ in range(3):
         oracle.run(pdf.head(800), cfg)

@@ -102,30 +102,15 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
-def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs: band the signature, hash each band, self-join
-    on (band, band_hash) — join fan-out is per-bucket, never all-pairs.
-    (r4: renamed from q_minhash_lsh_pairs; the REGISTERED minhash query is
-    now the verified form below, which feeds these candidates through an
-    exact-Jaccard verification join — the canonical LSH pipeline shape —
-    so the driver's DuckDB oracle can check every emitted pair. This raw
-    candidate surface stays the recall/precision test target.)
-
-    Estimator calibration (measured sf0.01 vs exact 5-char-shingle
-    Jaccard >= 0.5): recall 1.0, precision 0.962. The r1 form hashed the
-    shingle STRING per seed (xxhash64(s, i)), whose component hashes
-    correlate across seeds — it inflated est_jaccard and emitted ~50x
-    spurious candidates; the one-strong-hash + k-mix form fixes the
-    statistics AND removes 15 O(len) string hashes per shingle."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    sig = minhash_signatures(docs)
+def band_frame(sig: DataFrame) -> DataFrame:
+    """(doc_id, sig) -> (doc_id, sig, band, bh): THE banding scheme —
+    N_BANDS bands of N_HASHES/N_BANDS rows, band hash = xxhash64 over the
+    band's signature lanes in lane order. One definition shared by the
+    batch candidate path and streaming.minhash_candidate_stream
+    (code-review r4: a re-pin edited in only one copy would silently
+    bucket batch and streaming differently)."""
     rows_per_band = N_HASHES // N_BANDS
-    # carry the full signature THROUGH the band explode: the bucket self-
-    # join then yields (d1, d2, sig1, sig2) directly — the expensive
-    # shingle->signature subtree is planned twice (once per join side)
-    # instead of three times, and the two signature re-join shuffles
-    # disappear. +128B/row of shuffle width for a whole stage less work.
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         "sig",
         F.explode(
@@ -145,6 +130,31 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e"),
     ).select("doc_id", "sig", "e.band", "e.bh")
+
+
+def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: band the signature, hash each band, self-join
+    on (band, band_hash) — join fan-out is per-bucket, never all-pairs.
+    (r4: renamed from q_minhash_lsh_pairs; the REGISTERED minhash query is
+    now the verified form below, which feeds these candidates through an
+    exact-Jaccard verification join — the canonical LSH pipeline shape —
+    so the driver's DuckDB oracle can check every emitted pair. This raw
+    candidate surface stays the recall/precision test target.)
+
+    Estimator calibration (measured sf0.01 vs exact 5-char-shingle
+    Jaccard >= 0.5): recall 1.0, precision 0.962. The r1 form hashed the
+    shingle STRING per seed (xxhash64(s, i)), whose component hashes
+    correlate across seeds — it inflated est_jaccard and emitted ~50x
+    spurious candidates; the one-strong-hash + k-mix form fixes the
+    statistics AND removes 15 O(len) string hashes per shingle."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = minhash_signatures(docs)
+    # carry the full signature THROUGH the band explode: the bucket self-
+    # join then yields (d1, d2, sig1, sig2) directly — the expensive
+    # shingle->signature subtree is planned twice (once per join side)
+    # instead of three times, and the two signature re-join shuffles
+    # disappear. +128B/row of shuffle width for a whole stage less work.
+    bands = band_frame(sig)
     # both self-join sides consume `bands`; persist so the shingle ->
     # 16-hash signature subtree (the expensive part) is computed once,
     # not once per side (VERDICT r01 re-planned-subtree fix).

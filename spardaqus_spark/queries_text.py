@@ -557,22 +557,19 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
-def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing — the batch-construction op of an LLM training
-    pipeline: documents are packed in doc_id order into fixed token-budget
-    bins (BUDGET=2048 whitespace tokens), each doc assigned to the bin its
-    EXCLUSIVE running token sum starts in (sequential packer). Packing is
-    per-source (Window.partitionBy(source)) so the sort is distributed —
-    one window shuffle keyed by source, never a global single-partition
-    sort; at corpus scale `source` is the shard key. Tokenizer: EXPLICIT
-    ASCII whitespace class (the boilerplate pin, SURVEY §2.9.17) — NOT
-    q_token_count's legacy \\s, because Java \\s and RE2 \\s disagree on
-    \\x0b — and EMPTY tokens removed after the split, because a trailing
-    newline (most real files) or empty text otherwise counts a phantom
-    token and a one-token drift shifts every downstream bin
-    (code-review r3 ×2)."""
-    budget = 2048
-    docs = load(spark, sf_dir, "documents").select("source", "doc_id", "text")
+PACK_BUDGET = 2048  # tokens per bin — pinned with the SQL fragment below
+
+
+def packed_bin_summary(docs: DataFrame) -> DataFrame:
+    """(source, doc_id, text) -> per-(source, bin) packing summary: THE
+    sequence-packing construction, shared by q_sequence_packing and
+    q_corpus_build (code-review r4: the composite hand-copied it, so a
+    budget/tokenizer re-pin would have left the copies disagreeing).
+    Each doc joins the bin its EXCLUSIVE running token sum starts in
+    (sequential packer), per-source windows so the sort is distributed.
+    Tokenizer: the EXPLICIT ASCII whitespace class (boilerplate pin,
+    SURVEY §2.9.17) with empty tokens removed — see q_sequence_packing's
+    docstring for why both choices are load-bearing."""
     toks = F.size(
         F.array_remove(
             F.split(F.col("text"), BOILERPLATE_WS), ""
@@ -586,7 +583,7 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cum_excl = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
     binned = d.withColumn(
-        "bin", F.floor(cum_excl / F.lit(float(budget))).cast("bigint")
+        "bin", F.floor(cum_excl / F.lit(float(PACK_BUDGET))).cast("bigint")
     )
     return (
         binned.groupBy("source", "bin")
@@ -597,12 +594,32 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_SEQUENCE_PACKING = r"""
-WITH t AS (
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the batch-construction op of an LLM training
+    pipeline: documents are packed in doc_id order into fixed token-budget
+    bins (PACK_BUDGET=2048 whitespace tokens), each doc assigned to the
+    bin its EXCLUSIVE running token sum starts in (sequential packer).
+    Packing is per-source (Window.partitionBy(source)) so the sort is
+    distributed — one window shuffle keyed by source, never a global
+    single-partition sort; at corpus scale `source` is the shard key.
+    Tokenizer: EXPLICIT ASCII whitespace class (the boilerplate pin,
+    SURVEY §2.9.17) — NOT q_token_count's legacy \\s, because Java \\s
+    and RE2 \\s disagree on \\x0b — and EMPTY tokens removed after the
+    split, because a trailing newline (most real files) or empty text
+    otherwise counts a phantom token and a one-token drift shifts every
+    downstream bin (code-review r3 ×2)."""
+    docs = load(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    return packed_bin_summary(docs)
+
+
+# Packing SQL, parameterized on the source relation (@SRC) so the plain
+# op and the corpus_build composite share ONE definition of tokenizer,
+# window frame, and budget.
+PACK_SQL = r"""t AS (
   SELECT source, doc_id,
          CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\r\f\x0B]+'),
                               x -> x <> '')) AS BIGINT) AS n_tok
-  FROM documents
+  FROM @SRC
 ), c AS (
   SELECT source, doc_id, n_tok,
          COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
@@ -610,11 +627,31 @@ WITH t AS (
   FROM t
 )
 SELECT source,
-       CAST(FLOOR(cum_excl / 2048.0) AS BIGINT) AS bin,
+       CAST(FLOOR(cum_excl / @BUDGET.0) AS BIGINT) AS bin,
        COUNT(*) AS n_docs,
        CAST(SUM(n_tok) AS BIGINT) AS tot_tokens
-FROM c GROUP BY source, bin ORDER BY source, bin
-"""
+FROM c GROUP BY source, bin""".replace("@BUDGET", str(PACK_BUDGET))
+
+SQL_SEQUENCE_PACKING = (
+    "WITH " + PACK_SQL.replace("@SRC", "documents") + " ORDER BY source, bin"
+)
+
+
+def stratified_keep_cond():
+    """THE stratified-sampling keep predicate (per-lang md5 hex rates:
+    en -> 25%, others -> 75%), shared by q_stratified_sample and
+    q_corpus_build with STRAT_PRED_SQL as its SQL twin (code-review r4:
+    a rate re-pin edited in one copy would silently diverge the
+    composite from the operator it claims to compose)."""
+    h = F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    thr = F.when(F.col("lang") == "en", F.lit("40")).otherwise(F.lit("c0"))
+    return F.substring(h, 1, 2) < thr
+
+
+STRAT_PRED_SQL = (
+    "substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 2)"
+    " < (CASE WHEN lang = 'en' THEN '40' ELSE 'c0' END)"
+)
 
 
 def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -632,36 +669,24 @@ def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle (recursive-CTE keep-list + the same sampling predicate
     + the same window packer) value-checks every stage's interaction:
     a drift anywhere — dedup graph, sampling hash, tokenizer, bin
-    boundary — shifts downstream rows and breaks the hash. Scale shape is
-    the sum of its parts, all previously argued: bucketed pair join +
-    O(log n) components, narrow sampling projection, one window shuffle
-    keyed by source."""
-    budget = 2048
+    boundary — shifts downstream rows and breaks the hash. Every stage is
+    the SHARED pinned construction, not a copy: q_near_dedup_keep,
+    stratified_keep_cond, packed_bin_summary (code-review r4). Scale
+    shape is the sum of its parts, all previously argued: bucketed pair
+    join + O(log n) components, narrow sampling projection, one window
+    shuffle keyed by source."""
     docs = load(spark, sf_dir, "documents").select(
         "source", "doc_id", "lang", "text"
     )
     kept = docs.join(q_near_dedup_keep(spark, sf_dir), "doc_id", "left_semi")
-    h = F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
-    thr = F.when(F.col("lang") == "en", F.lit("40")).otherwise(F.lit("c0"))
-    sampled = kept.filter(F.substring(h, 1, 2) < thr)
-    toks = F.size(F.array_remove(F.split(F.col("text"), BOILERPLATE_WS), ""))
-    d = sampled.select("source", "doc_id", toks.cast("long").alias("n_tok"))
-    w = (
-        W.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    cum_excl = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
-    binned = d.withColumn(
-        "bin", F.floor(cum_excl / F.lit(float(budget))).cast("bigint")
-    )
-    return binned.groupBy("source", "bin").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_tok").alias("tot_tokens"),
-    )
+    sampled = kept.filter(stratified_keep_cond())
+    return packed_bin_summary(sampled)
 
 
-SQL_CORPUS_BUILD = r"""
+# composed from the SAME pinned fragments as the standalone operators:
+# _COMPONENT_CTES (dedup keep-list), STRAT_PRED_SQL, PACK_SQL
+SQL_CORPUS_BUILD = (
+    r"""
 WITH RECURSIVE @COMPONENTS,
 kept AS (
   SELECT d.source, d.doc_id, d.lang, d.text
@@ -670,27 +695,14 @@ kept AS (
 ),
 sampled AS (
   SELECT source, doc_id, text FROM kept
-  WHERE substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 2)
-        < (CASE WHEN lang = 'en' THEN '40' ELSE 'c0' END)
+  WHERE @STRAT
 ),
-t AS (
-  SELECT source, doc_id,
-         CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\r\f\x0B]+'),
-                              x -> x <> '')) AS BIGINT) AS n_tok
-  FROM sampled
-),
-c AS (
-  SELECT source, doc_id, n_tok,
-         COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
-  FROM t
+@PACK
+"""
+    .replace("@COMPONENTS", _COMPONENT_CTES)
+    .replace("@STRAT", STRAT_PRED_SQL)
+    .replace("@PACK", PACK_SQL.replace("@SRC", "sampled"))
 )
-SELECT source,
-       CAST(FLOOR(cum_excl / 2048.0) AS BIGINT) AS bin,
-       COUNT(*) AS n_docs,
-       CAST(SUM(n_tok) AS BIGINT) AS tot_tokens
-FROM c GROUP BY source, bin
-""".replace("@COMPONENTS", _COMPONENT_CTES)
 
 
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1381,23 +1393,19 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pure narrow projection — no shuffle at all beyond the output
     sort; the keep decision is a pure function of (doc_id, lang)."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
-    h = F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
-    thr = F.when(F.col("lang") == "en", F.lit("40")).otherwise(F.lit("c0"))
     return docs.select(
         "doc_id",
         "lang",
-        (F.substring(h, 1, 2) < thr).cast("long").alias("kept"),
+        stratified_keep_cond().cast("long").alias("kept"),
     )
 
 
 SQL_STRATIFIED_SAMPLE = """
 SELECT doc_id, lang,
-       CAST(CASE WHEN substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 2)
-                      < (CASE WHEN lang = 'en' THEN '40' ELSE 'c0' END)
-                 THEN 1 ELSE 0 END AS BIGINT) AS kept
+       CAST(CASE WHEN @STRAT THEN 1 ELSE 0 END AS BIGINT) AS kept
 FROM documents
 ORDER BY doc_id
-"""
+""".replace("@STRAT", STRAT_PRED_SQL)
 
 
 def q_quality_binning(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -233,33 +233,16 @@ def minhash_candidate_stream(docs_stream: "DataFrame") -> "DataFrame":
     NoTimeout here because the tests replay finite corpora."""
     import numpy as np
     import pandas as pd
-    from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    from ..queries_ml import N_BANDS, N_HASHES, minhash_signatures
+    from ..queries_ml import N_HASHES, band_frame, minhash_signatures
 
-    rows_per_band = N_HASHES // N_BANDS
-    sig = minhash_signatures(docs_stream.select("doc_id", "text"))
-    bands = sig.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col("sig")[b * rows_per_band + r]
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bh"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("e"),
-    ).select("doc_id", "sig", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+    # identical signature + banding construction as the batch candidate
+    # path — band_frame is THE single banding definition, so batch and
+    # stream can never bucket differently
+    bands = band_frame(
+        minhash_signatures(docs_stream.select("doc_id", "text"))
+    )
 
     def fn(key, pdfs, state):
         # state layout: parallel id list + flattened sig longs (nested
