@@ -39,18 +39,45 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's CORRECTNESS harness records at most 50
-    # entries per round (observed r1: 45/55, r2: 50/60, r3: 50/69 — see
-    # BASELINE.md "Driver harness observations"), so entries needing fresh
-    # driver evidence go FIRST.  r4 rotation (VERDICT r03 item 3):
-    #   1-19  the tail entries whose last driver rows predate commit
-    #         7bd8681 (cosmetic-sort strip) — stale evidence, rotate in;
-    #   20-22 the multimodal trio, re-schema'd this round to scalar
-    #         columns after the r3 canonicalizer crash (VERDICT item 1);
-    #   23-25 minhash/ann entries, newly SQL-oracled this round
-    #         (VERDICT item 4) — need their first green SQL rows;
-    #   26+   everything green in CORRECTNESS_r03, freshest evidence last.
+    # entries per round (observed r1: 45/55, r2: 50/60, r3: 50/69, r4:
+    # 50/72 — see BASELINE.md "Driver harness observations"), so entries
+    # needing fresh driver evidence go FIRST.  r5 rotation (VERDICT r04
+    # item 1):
+    #   1-5   the entries whose PLANS changed in the r4 shared-template
+    #         refactors (276061d, b7ec6b5) after their last driver rows —
+    #         embedding_near_dup / sequence_packing / stratified_sample /
+    #         near_dedup_keep / dedup_clusters — post-refactor evidence
+    #         is the round's top priority;
+    #   6-23  the rest of the r3-evidence tail the r4 cap rotated out;
+    #   24+   everything green in CORRECTNESS_r04, freshest evidence last
+    #         (the cap lands after corpus_build at position 50).
     return {
-        # --- driver evidence stale (last run r2, pre-7bd8681) ---
+        # --- plans changed in r4 refactors after last driver rows ---
+        "embedding_near_dup": QT.q_embedding_near_dup,
+        "sequence_packing": QT.q_sequence_packing,
+        "stratified_sample": QT.q_stratified_sample,
+        "near_dedup_keep": QT.q_near_dedup_keep,
+        "dedup_clusters": QT.q_dedup_clusters,
+        # --- r3-evidence tail (rotated out by the r4 50-cap) ---
+        "tumbling_hourly": Q.q_tumbling_hourly,
+        "sliding_windows": Q.q_sliding_windows,
+        "full_outer_ranked": Q.q_full_outer_ranked,
+        "collect_set_sorted": Q.q_collect_set_sorted,
+        "cardinality_sketches": Q.q_cardinality_sketches,
+        "global_sort_limit": Q.q_global_sort_limit,
+        "skew_salted_join": Q.q_skew_salted_join,
+        "mode_any_value": Q.q_mode_any_value,
+        "salted_two_phase_agg": Q.q_salted_two_phase_agg,
+        "struct_udf_stats": QT.q_struct_udf_stats,
+        "arrow_byte_stats": QT.q_map_in_arrow_bytes,
+        "pipeline_documents": QM.q_pipeline_documents,
+        "simhash_buckets": QM.q_simhash_buckets,
+        "train_val_split": QT.q_train_val_split,
+        "repetition_metrics": QT.q_repetition_metrics,
+        "decontamination": QT.q_decontamination,
+        "mixing_weights": QT.q_mixing_weights,
+        "quality_binning": QT.q_quality_binning,
+        # --- green in CORRECTNESS_r04, freshest evidence last ---
         "doc_line_metrics": QT.q_doc_line_metrics,
         "token_count": QT.q_token_count,
         "bpe_token_count": QT.q_bpe_token_count,
@@ -65,24 +92,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trimmed_mean_grouped_agg": Q.q_trimmed_mean_grouped_agg,
         "embedding_norms": QT.q_embedding_norms,
         "cosine_topk": QT.q_cosine_topk,
-        "embedding_near_dup": QT.q_embedding_near_dup,
         "median_stats": QT.q_median_stats,
         "explode_array_funcs": QT.q_explode_array_funcs,
         "scalar_udf_vowels": QT.q_scalar_pandas_udf_vowels,
         "scalar_iter_udf_density": QT.q_scalar_iter_udf_density,
-        # --- fixed this round: scalar output schema (VERDICT r03 item 1) ---
         "multimodal_features": QM.q_multimodal_features,
         "multimodal_resize": QM.q_multimodal_resize,
         "multimodal_frame_sample": QM.q_multimodal_frame_sample,
-        # --- newly SQL-oracled this round (VERDICT r03 item 4) ---
         "minhash_lsh_pairs": QM.q_minhash_lsh_pairs,
         "ann_lsh_cosine": QM.q_ann_lsh_checked,
         "ann_ivf_cosine": QM.q_ann_ivf_checked,
-        # --- new ops this round (need first driver rows) ---
         "near_dup_source_stats": QT.q_near_dup_source_stats,
         "embedding_dedup_keep": QT.q_embedding_dedup_keep,
         "corpus_build": QT.q_corpus_build,
-        # --- green in CORRECTNESS_r03: relational core (star schema) ---
+        "having_filter": Q.q_having_filter,
+        # --- beyond the 50-cap this round (all green in r4) ---
         "pricing_summary": Q.q_pricing_summary,
         "top_revenue_orders": Q.q_top_revenue_orders,
         "region_revenue": Q.q_region_revenue,
@@ -103,32 +127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_trunc_monthly": Q.q_date_trunc_monthly,
         "string_funcs": Q.q_string_funcs,
         "conditional_pivot": Q.q_conditional_pivot,
-        "having_filter": Q.q_having_filter,
         "sessionize": Q.q_sessionize,
-        # --- green r3; beyond the 50-cap this round (freshest evidence;
-        #     with 72 entries and 28 above, the cap lands after sessionize) ---
-        "tumbling_hourly": Q.q_tumbling_hourly,
-        "sliding_windows": Q.q_sliding_windows,
-        "full_outer_ranked": Q.q_full_outer_ranked,
-        "collect_set_sorted": Q.q_collect_set_sorted,
-        "cardinality_sketches": Q.q_cardinality_sketches,
-        "global_sort_limit": Q.q_global_sort_limit,
-        "skew_salted_join": Q.q_skew_salted_join,
-        "mode_any_value": Q.q_mode_any_value,
-        "salted_two_phase_agg": Q.q_salted_two_phase_agg,
-        "struct_udf_stats": QT.q_struct_udf_stats,
-        "arrow_byte_stats": QT.q_map_in_arrow_bytes,
-        "pipeline_documents": QM.q_pipeline_documents,
-        "simhash_buckets": QM.q_simhash_buckets,
-        "dedup_clusters": QT.q_dedup_clusters,
-        "near_dedup_keep": QT.q_near_dedup_keep,
-        "train_val_split": QT.q_train_val_split,
-        "sequence_packing": QT.q_sequence_packing,
-        "repetition_metrics": QT.q_repetition_metrics,
-        "decontamination": QT.q_decontamination,
-        "mixing_weights": QT.q_mixing_weights,
-        "stratified_sample": QT.q_stratified_sample,
-        "quality_binning": QT.q_quality_binning,
     }
 
 

@@ -90,8 +90,9 @@ def signatures(texts) -> np.ndarray:
     Normalization (lowercase, \\s+ -> ' ') happens Spark-side so the pin
     stays in one place (queries_ml._shingles' norm expression). A doc
     shorter than K chars (incl. empty) contributes exactly one window of
-    its chars zero-padded to K — deterministic, mirroring _shingles'
-    whole-string shingle for short docs.
+    its chars zero-padded to K with the true char count folded into the
+    key (r5) — deterministic, mirroring _shingles' whole-string shingle
+    for short docs, where distinct short texts are distinct shingles.
     """
     # one flat uint32 (UTF-32-LE code point) view of the whole batch, with
     # K pad chars per doc so every doc admits >= 1 full window and long
@@ -114,7 +115,22 @@ def signatures(texts) -> np.ndarray:
     w = np.lib.stride_tricks.sliding_window_view(flat, K)[starts].astype(
         np.uint64
     )
-    keys = _smix(w @ _PW)
+    polys = w @ _PW
+    # Sub-K docs get one zero-padded window, so two DISTINCT short texts
+    # whose code points agree up to trailing NULs would collide
+    # structurally ('ab' vs 'ab\x00'). Fold the true char count into the
+    # key for those windows (ADVICE r04): the exact string-shingle
+    # universe (queries_ml._shingles / the DuckDB oracle) already treats
+    # short docs as whole-string shingles where such texts are distinct,
+    # so this only removes spurious candidates — identical texts keep
+    # identical keys, and sub-K exact Jaccard is 0/1 so recall is
+    # untouched.
+    sub = nchar < K
+    if sub.any():
+        polys[cum[sub]] ^= (
+            nchar[sub].astype(np.uint64) + np.uint64(1)
+        ) * _GOLD
+    keys = _smix(polys)
     out = np.empty((n, LANES), dtype=np.int64)
     for i in range(LANES):
         out[:, i] = np.minimum.reduceat(

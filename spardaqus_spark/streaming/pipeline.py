@@ -265,6 +265,17 @@ def minhash_candidate_stream(docs_stream: "DataFrame") -> "DataFrame":
             return
         new_ids = np.concatenate(id_chunks)
         S_new = np.vstack(sig_chunks)
+        # at-least-once sources redeliver: a doc_id already stored in the
+        # bucket (or seen earlier in this batch) must be a no-op — same
+        # convention as dedup_stream — else every replay grows state AND
+        # re-emits the doc's pairs once per redelivery (ADVICE r04)
+        first = np.zeros(len(new_ids), dtype=bool)
+        first[np.unique(new_ids, return_index=True)[1]] = True
+        fresh = first & ~np.isin(new_ids, old_ids)
+        if not fresh.any():
+            return
+        new_ids = new_ids[fresh]
+        S_new = S_new[fresh]
         # vectorized pairing (no per-row Python — the kernel lint rule):
         # every (existing-or-earlier, new) pair's est = lane-agreement mean
         aid = np.concatenate([old_ids, new_ids])

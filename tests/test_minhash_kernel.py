@@ -45,6 +45,23 @@ def test_short_and_empty_docs_defined_and_deterministic():
     assert not (a[0] == a[1]).all()
 
 
+def test_short_docs_no_structural_padding_collision():
+    """ADVICE r04 hardening: sub-K texts that agree up to trailing NULs
+    must NOT collide through the zero padding — the exact string-shingle
+    universe treats them as distinct whole-string shingles, so the kernel
+    must too (est 1.0 on such a pair would be a spurious candidate)."""
+    s = mh.signatures(["ab", "ab\x00", "ab\x00\x00"])
+    assert not (s[0] == s[1]).all()
+    assert not (s[1] == s[2]).all()
+    # identical short texts still agree on every lane
+    t = mh.signatures(["ab", "ab"])
+    assert (t[0] == t[1]).all()
+    # and a doc of exactly K chars (unpadded single window) is unaffected
+    # by the sub-K branch: K-char vs (K-1)-char prefixes stay distinct
+    u = mh.signatures(["abcde", "abcd"])
+    assert not (u[0] == u[1]).all()
+
+
 def test_near_dup_docs_share_most_lanes():
     base = "def build(self, config):\n    return self.render(config, strict=True)\n" * 8
     variant = base.replace("strict=True", "strict=False", 1)

@@ -373,3 +373,44 @@ def test_minhash_candidate_stream_matches_batch(spark, tmp_path):
     assert list(map(tuple, got.to_numpy())) == list(
         map(tuple, batch[["d1", "d2", "est_jaccard"]].to_numpy())
     )
+
+    # --- at-least-once redelivery is a no-op (ADVICE r04) ---
+    # Replay the same corpus with a THIRD file duplicating the first half:
+    # redelivered doc_ids must neither grow bucket state nor re-emit their
+    # pairs, so the RAW (pre-dedup) emission multiset is identical to the
+    # clean run's — not just the DISTINCT set.
+    raw_clean = (
+        spark.sql("SELECT d1, d2, est_jaccard FROM m_mh")
+        .toPandas()
+        .sort_values(["d1", "d2", "est_jaccard"])
+        .reset_index(drop=True)
+    )
+    src2 = tmp_path / "mh_src_redeliver"
+    src2.mkdir()
+    docs.iloc[: len(docs) // 2].to_parquet(src2 / "a.parquet", index=False)
+    docs.iloc[len(docs) // 2 :].to_parquet(src2 / "b.parquet", index=False)
+    docs.iloc[: len(docs) // 2].to_parquet(src2 / "c_redelivered.parquet", index=False)
+    stream2 = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src2))
+    )
+    q2 = (
+        spipe.minhash_candidate_stream(stream2)
+        .writeStream.format("memory")
+        .queryName("m_mh_redeliver")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    raw_redelivered = (
+        spark.sql("SELECT d1, d2, est_jaccard FROM m_mh_redeliver")
+        .toPandas()
+        .sort_values(["d1", "d2", "est_jaccard"])
+        .reset_index(drop=True)
+    )
+    assert raw_redelivered.equals(raw_clean), (
+        f"redelivery changed raw emissions: {len(raw_clean)} clean rows "
+        f"vs {len(raw_redelivered)} with a duplicated file"
+    )
