@@ -203,10 +203,24 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall at the correctness scale (sf0.01 recall is exactly 1.0,
     measured and pinned by tests/test_recall.py; a parameter re-pin that
     drops recall below 1.0 at sf0.01 turns this driver row red, which is
-    the intended tripwire). At 100 TB the oracle side is infeasible by
-    design — there the recall gate is statistical — but the Spark side
-    scales: candidates are band-bucket-bounded and the verification join
-    touches only candidate docs' shingles."""
+    the intended tripwire — BASELINE.md "r5 update" has the triage note).
+    At 100 TB the oracle side is infeasible by design — there the recall
+    gate is statistical — but the Spark side scales: candidates are
+    band-bucket-bounded and verification touches only candidate docs.
+
+    Verification shape (r5, VERDICT r04 item 6): per-doc DISTINCT shingle
+    ARRAYS (the same array_distinct(transform(...)) expression _shingles
+    explodes, minus the explode) joined onto the tiny candidate pair
+    list, with |intersection| via array_intersect. vs the r4 exploded
+    form (shingle rows -> join on (d2, shingle) -> groupBy pair), this
+    removes THREE shuffles whose width was O(candidate_docs x
+    shingles_per_doc) exploded rows — what remains shuffles only
+    O(candidate_docs) array rows and O(candidates) pairs, the 100 TB
+    bottleneck the verdict named. Output is bit-identical (25/25 sf0.01
+    pairs) because the shingle universe is the same distinct string set;
+    measured sf0.1 wall time is a wash on this host (2.92 s vs 2.93 s
+    warm — the candidates subtree dominates locally), the win is the
+    shuffle-volume shape, not local seconds (BENCH/BASELINE.md r5)."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     # candidates feed THREE consumers below (two cand_docs legs + the
     # verification join) — persist the tiny pair list so the signature
@@ -221,38 +235,38 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = q_minhash_lsh_candidates(spark, sf_dir).select("d1", "d2").persist()
     # shingle ONLY the docs that appear in some candidate pair (semi-join
     # prune): verification work scales with the candidate set, not the
-    # corpus — measured sf0.1: full-corpus shingling made verification
-    # ~2 s on top of candidates; pruned it touches ~1/5 of the docs.
+    # corpus. Shingles stay an ARRAY per doc — same normalize + substr
+    # positions as _shingles, same distinct string universe.
     cand_docs = (
         cand.select(F.col("d1").alias("doc_id"))
         .unionByName(cand.select(F.col("d2").alias("doc_id")))
         .distinct()
     )
-    # sh feeds three consumers (sizes + both intersection legs) — persist
-    # the pruned shingle rows so the semi-join + explode subtree plans
-    # once, not three times (the ngram_jaccard multi-consumer lesson);
-    # the cache is candidate-doc shingles only, strictly smaller than the
-    # candidate docs' text.
-    sh = _shingles(docs.join(cand_docs, "doc_id", "left_semi")).persist()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    # exact intersection only for candidate pairs: fan out each pair to
-    # d1's shingles, then equi-join on (d2, shingle). Both joins shuffle
-    # on doc_id/shingle keys — no cartesian anywhere.
-    s1 = sh.select(F.col("doc_id").alias("d1"), "shingle")
-    s2 = sh.select(F.col("doc_id").alias("d2"), "shingle")
-    inter = (
-        cand.join(s1, "d1")
-        .join(s2, ["d2", "shingle"])
-        .groupBy("d1", "d2")
-        .agg(F.count("*").alias("inter"))
+    k = 5
+    norm = F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")
+    d = (
+        docs.join(cand_docs, "doc_id", "left_semi")
+        .select("doc_id", norm.alias("t"))
+        .withColumn("n", F.length("t"))
     )
-    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
-    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
-    raw_j = F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter"))
+    idx = F.sequence(F.lit(1), F.greatest(F.col("n") - k + 1, F.lit(1)))
+    # arr feeds both pair-join sides — persist so the semi-join +
+    # shingle-array subtree computes once (the multi-consumer lesson);
+    # the cache holds candidate docs only.
+    arr = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(idx, lambda i: F.col("t").substr(i, F.lit(k)))
+        ).alias("sh"),
+    ).persist()
+    a1 = arr.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
+    a2 = arr.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
+    j = cand.join(a1, "d1").join(a2, "d2")
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    # divisor >= 1 by construction (every doc has >= 1 shingle) — ANSI-safe
+    raw_j = inter / (F.size("sh1") + F.size("sh2") - inter)
     return (
-        inter.join(sa, "d1")
-        .join(sb, "d2")
-        .withColumn("raw_j", raw_j)
+        j.withColumn("raw_j", raw_j)
         .filter(F.col("raw_j") >= MINHASH_TAU)  # threshold UNROUNDED, like the SQL
         .select("d1", "d2", F.round("raw_j", 4).alias("jaccard"))
     )
