@@ -49,8 +49,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #         near_dedup_keep / dedup_clusters — post-refactor evidence
     #         is the round's top priority;
     #   6-23  the rest of the r3-evidence tail the r4 cap rotated out;
-    #   24+   everything green in CORRECTNESS_r04, freshest evidence last
-    #         (the cap lands after corpus_build at position 50).
+    #   24    streaming_band_profile, new r5 (first driver row);
+    #   25+   everything green in CORRECTNESS_r04, freshest evidence last
+    #         (73 entries; the cap lands after embedding_dedup_keep at
+    #         position 50 — corpus_build got fresh r4 evidence, so its
+    #         rotation out is the intended cost of the new entry).
     return {
         # --- plans changed in r4 refactors after last driver rows ---
         "embedding_near_dup": QT.q_embedding_near_dup,
@@ -77,6 +80,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": QT.q_decontamination,
         "mixing_weights": QT.q_mixing_weights,
         "quality_binning": QT.q_quality_binning,
+        # --- new r5: rows-only registry surface for the streaming
+        #     near-dup path (bucket profile via the SHARED band_frame
+        #     construction; stream==batch pinned in test_streaming) ---
+        "streaming_band_profile": QM.q_streaming_band_profile,
         # --- green in CORRECTNESS_r04, freshest evidence last ---
         "doc_line_metrics": QT.q_doc_line_metrics,
         "token_count": QT.q_token_count,

