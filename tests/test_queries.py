@@ -97,38 +97,37 @@ def test_queries_order_puts_unevidenced_first():
     """The driver harness records at most 50 queries per round (BASELINE.md
     'Driver harness observations'), so entries needing fresh driver
     evidence MUST stay first in queries() — guard the dict insertion order
-    against accidental reshuffles.  r4: the 19 stale-tail entries (last
-    driver rows predate commit 7bd8681), then the re-schema'd multimodal
-    trio, then the newly SQL-oracled minhash/ann entries (VERDICT r03
-    items 1/3/4)."""
-    first25 = list(entrymod.queries())[:25]
-    assert first25 == [
-        "doc_line_metrics",
-        "token_count",
-        "bpe_token_count",
-        "rolling_fingerprint",
-        "quality_score",
-        "lang_stopword_heuristic",
-        "fingerprint",
-        "dedup_exact_docs",
-        "ngram_jaccard_pairs",
-        "boilerplate_tokens",
-        "boilerplate_scalable",
-        "trimmed_mean_grouped_agg",
-        "embedding_norms",
-        "cosine_topk",
+    against accidental reshuffles.  r5 (VERDICT r04 item 1): the five
+    entries whose plans changed in the r4 shared-template refactors after
+    their last driver rows, then the r3-evidence tail the r4 cap rotated
+    out, then the new streaming_band_profile (first driver row)."""
+    first24 = list(entrymod.queries())[:24]
+    assert first24 == [
         "embedding_near_dup",
-        "median_stats",
-        "explode_array_funcs",
-        "scalar_udf_vowels",
-        "scalar_iter_udf_density",
-        "multimodal_features",
-        "multimodal_resize",
-        "multimodal_frame_sample",
-        "minhash_lsh_pairs",
-        "ann_lsh_cosine",
-        "ann_ivf_cosine",
-    ], first25
+        "sequence_packing",
+        "stratified_sample",
+        "near_dedup_keep",
+        "dedup_clusters",
+        "tumbling_hourly",
+        "sliding_windows",
+        "full_outer_ranked",
+        "collect_set_sorted",
+        "cardinality_sketches",
+        "global_sort_limit",
+        "skew_salted_join",
+        "mode_any_value",
+        "salted_two_phase_agg",
+        "struct_udf_stats",
+        "arrow_byte_stats",
+        "pipeline_documents",
+        "simhash_buckets",
+        "train_val_split",
+        "repetition_metrics",
+        "decontamination",
+        "mixing_weights",
+        "quality_binning",
+        "streaming_band_profile",
+    ], first24
 
 
 def test_entry_smoke(spark):
