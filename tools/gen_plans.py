@@ -33,6 +33,10 @@ QUERIES = (
     "ann_ivf_cosine",
     "near_dup_source_stats",
     "embedding_dedup_keep",
+    # r5 (VERDICT r04 item 2): the composite corpus builder and the
+    # streaming-path registry surface postdated the last regeneration.
+    "corpus_build",
+    "streaming_band_profile",
 )
 
 
