@@ -111,9 +111,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_cosine": QM.q_ann_ivf_checked,
         "near_dup_source_stats": QT.q_near_dup_source_stats,
         "embedding_dedup_keep": QT.q_embedding_dedup_keep,
+        # --- beyond the 50-cap this round (all green in r4) ---
         "corpus_build": QT.q_corpus_build,
         "having_filter": Q.q_having_filter,
-        # --- beyond the 50-cap this round (all green in r4) ---
         "pricing_summary": Q.q_pricing_summary,
         "top_revenue_orders": Q.q_top_revenue_orders,
         "region_revenue": Q.q_region_revenue,

@@ -37,21 +37,27 @@ N_BANDS = 4    # 4 rows/band -> candidates at J ~ 0.6+
 SIM_BITS = 32  # simhash width
 
 
-def _shingles(df: DataFrame, k: int = 5) -> DataFrame:
-    """doc_id, shingle(string): k-char shingles of normalized text,
-    distinct per doc. JVM-side: sequence + transform + explode."""
+def _shingle_array(df: DataFrame, k: int = 5) -> DataFrame:
+    """doc_id, sh(array<string>): DISTINCT k-char shingles of normalized
+    text as a per-doc array — THE single shingle-universe construction
+    (norm regex + substr positions + distinct). _shingles explodes it;
+    the verified minhash query joins it directly (r5) — a shingle re-pin
+    edited here moves every consumer together (the band_frame lesson)."""
     norm = F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")
     d = df.select("doc_id", norm.alias("t")).withColumn("n", F.length("t"))
     idx = F.sequence(F.lit(1), F.greatest(F.col("n") - k + 1, F.lit(1)))
-    return (
-        d.select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(idx, lambda i: F.col("t").substr(i, F.lit(k)))
-                )
-            ).alias("shingle"),
-        )
+    return d.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(idx, lambda i: F.col("t").substr(i, F.lit(k)))
+        ).alias("sh"),
+    )
+
+
+def _shingles(df: DataFrame, k: int = 5) -> DataFrame:
+    """doc_id, shingle(string): exploded form of _shingle_array."""
+    return _shingle_array(df, k).select(
+        "doc_id", F.explode("sh").alias("shingle")
     )
 
 
@@ -279,22 +285,12 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cand.select(F.col("d2").alias("doc_id")))
         .distinct()
     )
-    k = 5
-    norm = F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")
-    d = (
-        docs.join(cand_docs, "doc_id", "left_semi")
-        .select("doc_id", norm.alias("t"))
-        .withColumn("n", F.length("t"))
-    )
-    idx = F.sequence(F.lit(1), F.greatest(F.col("n") - k + 1, F.lit(1)))
     # arr feeds both pair-join sides — persist so the semi-join +
     # shingle-array subtree computes once (the multi-consumer lesson);
-    # the cache holds candidate docs only.
-    arr = d.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(idx, lambda i: F.col("t").substr(i, F.lit(k)))
-        ).alias("sh"),
+    # the cache holds candidate docs only. _shingle_array is THE pinned
+    # universe shared with the exploded _shingles consumers.
+    arr = _shingle_array(
+        docs.join(cand_docs, "doc_id", "left_semi")
     ).persist()
     a1 = arr.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
     a2 = arr.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))

@@ -284,7 +284,9 @@ def minhash_candidate_stream(docs_stream: "DataFrame") -> "DataFrame":
         E = (A[:, None, :] == S_new[None, :, :]).mean(axis=2)
         gi = np.arange(len(aid))[:, None]
         gj = n_old + np.arange(len(new_ids))[None, :]
-        keep = (gi < gj) & (E >= 0.5) & (aid[:, None] != new_ids[None, :])
+        # gi < gj alone excludes self-pairs: the fresh-filter above makes
+        # old_ids and new_ids disjoint and new_ids unique
+        keep = (gi < gj) & (E >= 0.5)
         ii, jj = np.nonzero(keep)
         state.update((aid.tolist(), A.ravel().tolist()))
         if len(ii):
