@@ -67,6 +67,64 @@ WINDOWS = [
 ]
 
 
+GRANT_WORKER = r"""
+import sys, time
+sys.path.insert(0, {repo!r})
+from spardaqus_spark import fixtures, oracle
+from spardaqus_spark.config import default_config
+pdf = fixtures.gen_files(2000)[["repo", "path", "commit", "lang", "content"]]
+cfg = default_config()
+for _ in range(3):
+    oracle.run(pdf.head(800), cfg)
+best = 0.0
+for _ in range(2):
+    t0 = time.perf_counter()
+    oracle.run(pdf, cfg)
+    best = max(best, 2000 / (time.perf_counter() - t0))
+print(best)
+"""
+
+
+def grant_probe(p: int = 4) -> dict:
+    """Hypervisor CORE-GRANT probe (r5): the same no-Spark oracle work run
+    solo and in ``p`` concurrent processes; ``agg / (p * solo)`` is the
+    host's OWN 1->p scaling at this moment, with zero Spark in the loop.
+    The r4 host_probe made contended THROUGHPUT sessions self-evident;
+    this makes contended SCALING sessions self-evident — on this
+    Firecracker microVM the grant was measured collapsing to 0.22-0.30
+    (aggregate 4-process rate BELOW one process's solo rate) minutes
+    after a quiet window, so a low pipeline-scaling median recorded next
+    to a collapsed grant reads as hypervisor steal, not code (the same
+    decision rule as probe-vs-files_per_sec). Each worker is a fresh
+    process with its own warm-up; per-worker rate is best-of-2 timed
+    passes so cold-start cannot masquerade as steal."""
+    def run_concurrent(n: int) -> list[float]:
+        code = GRANT_WORKER.format(repo=str(REPO))
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-c", code],
+                stdout=subprocess.PIPE,
+                text=True,
+                cwd="/tmp",
+            )
+            for _ in range(n)
+        ]
+        return [
+            float(pr.communicate()[0].strip().splitlines()[-1]) for pr in procs
+        ]
+
+    solo = run_concurrent(1)[0]
+    quad = run_concurrent(p)
+    agg = sum(quad)
+    return {
+        "p": p,
+        "solo_rows_per_sec": round(solo, 1),
+        "concurrent_rows_per_sec": [round(x, 1) for x in quad],
+        "aggregate_rows_per_sec": round(agg, 1),
+        "grant_eff_1_to_p": round(agg / (p * solo), 3),
+    }
+
+
 def run_at(cores: int, corpus: str) -> dict:
     code = RUNNER.format(repo=str(REPO), cores=cores, corpus=corpus)
     out = subprocess.run(
@@ -123,9 +181,11 @@ def main() -> None:
     import bench
 
     corpus = bench.corpus_path()
+    grant_before = grant_probe()
     windows = {
         f"{lo}to{hi}": measure_window(lo, hi, corpus) for lo, hi in WINDOWS
     }
+    grant_after = grant_probe()
     head_key = f"{WINDOWS[0][0]}to{WINDOWS[0][1]}"
     head = windows[head_key]
     result = {
@@ -135,6 +195,9 @@ def main() -> None:
         "method": f"median-of-{REPS} paired interleaved reps, window {head_key}",
         "headline_window": head_key,
         "windows": windows,
+        # host-grant context bracketing the measurement window: a low
+        # median next to a collapsed grant_eff is hypervisor steal
+        "host_grant_probe": {"before": grant_before, "after": grant_after},
         "pass": head["median"] >= 0.8,
         "reps": REPS,
         "measured_at": time.time(),
