@@ -254,6 +254,12 @@ def main() -> None:
                     }
                     for k, w in rec["windows"].items()
                 }
+            # r5: the scaling session's own contamination evidence (1-vs-4
+            # concurrent no-Spark probes bracketing the windows) travels
+            # with the headline so a low median stays decidable from the
+            # JSON alone — same rule as host_probe for throughput
+            if "host_grant_probe" in rec:
+                out["scaling_host_grant_probe"] = rec["host_grant_probe"]
         except (ValueError, KeyError):
             pass
     print(json.dumps(out))
