@@ -133,3 +133,28 @@ def test_minhash_signatures_zero_shuffle(spark):
     assert "MapInPandas" in plan
     n_exchange = plan.count("+- Exchange") + plan.count(":- Exchange")
     assert n_exchange == 0, f"signature stage must not shuffle:\n{plan[:1500]}"
+
+
+def test_minhash_verification_no_exploded_shuffles(spark):
+    """r5 contract (VERDICT r04 item 6): the verified minhash query's
+    verification leg joins per-doc DISTINCT shingle ARRAYS onto the
+    candidate pair list with array_intersect — it must never regress to
+    the r4 exploded form (shingle rows -> join on (d2, shingle) ->
+    groupBy pair), whose shuffles scaled with shingles-per-doc. Pinned
+    structurally: the verified plan computes array_intersect and binds
+    NO exploded `shingle` attribute anywhere — the exploded form cannot
+    avoid one (its join key and groupBy input is a per-shingle row),
+    while the array form only ever carries the per-doc `sh` array.
+    (Generate-node counting is NOT a stable pin here: the persisted
+    candidates subtree's InMemoryRelation repeats its internal plan text
+    once per consumer in the formatted output.)"""
+    from spardaqus_spark.queries_ml import q_minhash_lsh_pairs
+
+    sf = "/root/testdata/sf0.001"
+    spark.catalog.clearCache()  # candidate persist from other tests
+    p_ver = _plan(q_minhash_lsh_pairs(spark, sf))
+    assert "array_intersect" in p_ver, p_ver[:800]
+    assert "shingle#" not in p_ver, (
+        "verification binds an exploded shingle attribute — "
+        f"exploded-shingle regression:\n{p_ver[:1500]}"
+    )
