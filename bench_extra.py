@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Extra benchmarks for the r06 optimization round (guide §1.4: isolate
+computation with the noop sink; bench.py itself is FROZEN for driver
+measurement, so everything exploratory lives here).
+
+Times each named registered query by writing it to the noop sink
+(computes every column of every row, discards output), REPS times with
+spark.catalog.clearCache() between runs, reporting all samples + min.
+
+Usage:
+  python bench_extra.py q1 q2 ...           # specific queries
+  python bench_extra.py --headline          # the 11 bench.py headline entries
+  python bench_extra.py --all               # every registered query
+  SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS respected like bench.py.
+  BENCH_EXTRA_REPS (default 3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPS = int(os.environ.get("BENCH_EXTRA_REPS", "3"))
+
+HEADLINE = [
+    "pricing_summary",
+    "top_revenue_orders",
+    "region_revenue",
+    "window_topk",
+    "sessionize",
+    "dedup_exact_docs",
+    "ngram_jaccard_pairs",
+    "cosine_topk",
+    "minhash_lsh_candidates",
+    "minhash_lsh_pairs",
+    "pipeline_documents",
+]
+
+
+def main() -> None:
+    from spardaqus_spark.session import get_spark
+    from spardaqus_spark import queries_ml as QM
+    import __spark_entry__ as entrymod
+
+    qmap = dict(entrymod.queries())
+    qmap["minhash_lsh_candidates"] = QM.q_minhash_lsh_candidates
+
+    args = sys.argv[1:]
+    if "--all" in args:
+        names = list(qmap)
+    elif "--headline" in args or not args:
+        names = HEADLINE
+    else:
+        names = args
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    master = f"local[{cpus}]" if cpus else f"local[{min(os.cpu_count() or 16, 16)}]"
+    try:
+        n_threads = int(master[6:-1])
+    except ValueError:
+        n_threads = os.cpu_count() or 16
+    spark = get_spark(
+        app="spardaqus-bench-extra", master=master,
+        shuffle_partitions=min(n_threads, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out: dict[str, dict] = {}
+    for name in names:
+        fn = qmap[name]
+        # warm-up pass absorbs JIT / python-worker spinup for this plan
+        spark.sparkContext.setJobDescription(f"warmup: {name}")
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        samples = []
+        for rep in range(REPS):
+            spark.sparkContext.setJobDescription(f"bench_extra: {name} rep{rep}")
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            samples.append(round(time.perf_counter() - t0, 3))
+            spark.catalog.clearCache()
+        out[name] = {"min": min(samples), "samples": samples}
+        print(json.dumps({name: out[name]}), flush=True)
+    print(json.dumps({"sf_dir": SF_DIR, "cores": master,
+                      "total_min": round(sum(v["min"] for v in out.values()), 3),
+                      "queries": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

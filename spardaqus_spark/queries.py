@@ -28,6 +28,30 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Scale-adaptive scan parallelization (r6, opt guide §2/§6): when the
+    upstream scan yields FEWER partitions than the session's default
+    parallelism — the sandbox testdata tables are one parquet row group
+    each, i.e. ONE scan task, which serializes every pre-shuffle stage
+    (Python kernels, explodes, HOF projections) onto a single core —
+    redistribute by a deterministic hash key so the expensive downstream
+    map stage uses every core. Guarded by the measured partition count, so
+    at production scale (scan splits >= parallelism) this is a structural
+    no-op: no exchange enters the plan. The explicit numPartitions keeps
+    AQE from coalescing the small exchange back to one partition. The
+    exchange itself moves only the projected columns (KB-MB here), far
+    below the serial-stage cost it removes — measured r6: pipeline
+    documents noop 1.39 -> 1.10 s, ngram df-phase 0.75 -> 0.61 s at
+    sf0.1 under local[32]."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    if cols:
+        return df.repartition(target, *[F.col(c) for c in cols])
+    return df.repartition(target)
+
+
 # --------------------------------------------------------------------------
 # Relational coverage over the star schema (SURVEY.md §2.2)
 # --------------------------------------------------------------------------
@@ -65,16 +89,23 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-way join (broadcast dim) + agg + deterministic top-10."""
+    """3-way join (broadcast dim) + agg + deterministic top-10.
+
+    r6 join order (opt guide §3.1): the BUILDING-segment customer filter
+    reduces orders FIRST (orders ⋈ broadcast(cust)), and lineitem probes
+    that reduced side in a single hash join — vs the r1-r5 shape
+    (li ⋈ orders, then ⋈ cust) where every lineitem row paid two probe
+    passes against a build side 5x larger. Inner-join reorder only;
+    result identical (verified equal at sf0.1 + the DuckDB oracle)."""
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
+    ord_red = orders.join(
+        F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+        orders.o_custkey == cust.c_custkey,
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(
-            F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
-            orders.o_custkey == cust.c_custkey,
-        )
+        li.join(ord_red, li.l_orderkey == ord_red.o_orderkey)
         .groupBy("o_orderkey")
         .agg(
             F.round(
@@ -100,23 +131,39 @@ LIMIT 10
 
 
 def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """5-way star join: fact + 4 broadcast dims (TPC-H Q5 shape)."""
+    """5-way star join (TPC-H Q5 shape), r6 pre-aggregated form (opt guide
+    §2.3 "aggregate before you shuffle"): lineitem partial-aggregates to
+    one revenue row per l_orderkey BEFORE any join, so (a) the join probe
+    volume drops 4x (150k order rows instead of 600k lineitems), and
+    (b) COUNT(DISTINCT o_orderkey) degenerates to COUNT(*) — the expand-
+    free form — because the frame is already unique per orderkey
+    (o_orderkey is the orders primary key, unique by construction in the
+    fixtures AND in TPC-H). The orderkey exchange gets map-side partial
+    aggregation (~4 lineitems/order fold before the shuffle), replacing
+    the r1-r5 plan's (r_name, o_orderkey) distinct exchange over the full
+    joined fact. Result identical: same per-group double sums rounded to
+    4 decimals (verified equal at sf0.1 + the DuckDB oracle; the oracle
+    SQL text is untouched). Measured r6: noop 2.16 -> 1.17 s paired A/B."""
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
     nat = load(spark, sf_dir, "nation")
     reg = load(spark, sf_dir, "region")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
+    li_agg = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    dim = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("o_orderkey", "r_name")
+    )
+    return (
+        li_agg.join(dim, li_agg.l_orderkey == dim.o_orderkey)
         .groupBy("r_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.round(F.sum("rev"), 4).alias("revenue"),
+            F.count("*").alias("n_orders"),
         )
     )
 

@@ -466,19 +466,26 @@ def q_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship: run the REAL quality pipeline (fused mapInPandas
     scoring + codegen verdict) over `documents` as the corpus analog.
     Model-backed -> rows-only driver check; exact equality vs the pandas
-    oracle is enforced separately in tests/test_pipeline_oracle.py."""
+    oracle is enforced separately in tests/test_pipeline_oracle.py.
+    r6: corpus spread (queries.spread) — the fused score kernel otherwise
+    runs in ONE task on the one-row-group sandbox table (no-op at scale;
+    measured noop 1.39 -> 1.10 s at sf0.1)."""
     from .config import default_config
     from .operators import stages
+    from .queries import spread
     from .session import ship_package
 
     ship_package(spark)  # driver-owned sessions may lack our PYTHONPATH
     docs = load(spark, sf_dir, "documents")
-    corpus = docs.select(
-        F.concat(F.lit("src/"), F.col("source")).alias("repo"),
-        F.concat(F.lit("doc"), F.col("doc_id").cast("string")).alias("path"),
-        F.md5(F.col("text")).alias("commit"),
-        F.col("lang"),
-        F.col("text").alias("content"),
+    corpus = spread(
+        docs.select(
+            F.concat(F.lit("src/"), F.col("source")).alias("repo"),
+            F.concat(F.lit("doc"), F.col("doc_id").cast("string")).alias("path"),
+            F.md5(F.col("text")).alias("commit"),
+            F.col("lang"),
+            F.col("text").alias("content"),
+        ),
+        "path",
     )
     cfg = default_config()
     scored = stages.score(corpus)

