@@ -61,8 +61,14 @@ def connected_components(
             .groupBy(F.col("t").alias("nv"))
             .agg(F.min("lbl").alias("nbr_min"))
         )
+        # carry the round's starting label through as old_lbl so the
+        # convergence check below is a FILTER over the checkpointed frame
+        # — the r1-r5 form re-joined nxt against the previous labels table
+        # (one extra full label-table hash exchange + join job per round;
+        # r6, opt guide §2.4). Same fixpoint condition, same labels.
         prop = labels.join(nbr, labels["v"] == nbr["nv"], "left").select(
             "v",
+            F.col("lbl").alias("old_lbl"),
             F.least(F.col("lbl"), F.coalesce("nbr_min", "lbl")).alias("lbl"),
         )
         jump = prop.select(F.col("v").alias("jv"), F.col("lbl").alias("jlbl"))
@@ -73,14 +79,12 @@ def connected_components(
                 F.least(F.col("lbl"), F.coalesce("jlbl", F.col("lbl"))).alias(
                     "lbl"
                 ),
+                "old_lbl",
             )
             .localCheckpoint()
         )
-        old = labels.select("v", F.col("lbl").alias("old_lbl"))
-        changed = (
-            nxt.join(old, "v").filter(F.col("lbl") != F.col("old_lbl")).count()
-        )
-        labels = nxt
+        changed = nxt.filter(F.col("lbl") != F.col("old_lbl")).count()
+        labels = nxt.select("v", "lbl")
         if changed == 0:
             return labels
     raise RuntimeError(f"connected_components: no fixpoint in {max_iters} rounds")

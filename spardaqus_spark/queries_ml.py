@@ -339,8 +339,14 @@ WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= @TAU
 
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash over word features: sign-sum of per-word hash bits ->
-    SIM_BITS fingerprint; near-dups share the fingerprint. All JVM bit ops."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    SIM_BITS fingerprint; near-dups share the fingerprint. All JVM bit ops.
+    r6: spread — the word explode + 32 per-bit conditionals ran in the
+    single scan task (no-op at scale)."""
+    from .queries import spread
+
+    docs = spread(
+        load(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     words = F.explode(
         F.split(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "), " ")
     ).alias("w")

@@ -100,8 +100,10 @@ FROM documents GROUP BY lang
 def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint: min/max of the 8-char shingle
     hash stream (winnowing's two anchors) — cheap locality-sensitive
-    signature, fully codegen'd via higher-order array functions."""
-    docs = load(spark, sf_dir, "documents")
+    signature, fully codegen'd via higher-order array functions.
+    r6: spread — ~n_chars md5 calls per doc all ran in the single scan
+    task (no-op at scale; measured noop 2.0 -> 0.5 s at sf0.1)."""
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     norm = F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")
     d = docs.select("doc_id", norm.alias("t")).withColumn("n", F.length("t"))
     idx = F.sequence(F.lit(1), F.greatest(F.col("n") - 7, F.lit(1)))
@@ -835,8 +837,16 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_median_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """first/last/median/min-max family (SURVEY §2.2 aggregations)."""
-    li = load(spark, sf_dir, "lineitem")
+    """first/last/median/min-max family (SURVEY §2.2 aggregations).
+    r6: spread — exact median buffers every group value in the partial
+    agg, all in one task on the single-row-group sandbox scan (no-op at
+    scale; measured noop 1.44 -> 0.63 s)."""
+    li = spread(
+        load(spark, sf_dir, "lineitem").select(
+            "l_linestatus", "l_quantity", "l_extendedprice", "l_partkey"
+        ),
+        "l_partkey",
+    )
     return li.groupBy("l_linestatus").agg(
         F.round(F.median("l_quantity"), 4).alias("med_qty"),
         F.min("l_extendedprice").alias("min_price"),
@@ -1216,8 +1226,12 @@ def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one explode + two hash aggs on (doc_id[, gram]) — map-side
     partial aggregation applies, no skew (gram cardinality is huge).
     Floats are single int/int double divisions (bit-identical across
-    engines, no rounding — the boilerplate_frac precedent)."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    engines, no rounding — the boilerplate_frac precedent).
+    r6: spread — the tokenize + bigram explode ran in the single scan
+    task (no-op at scale)."""
+    docs = spread(
+        load(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     toks = F.array_remove(F.split(F.col("text"), _ASCII_WS), "")
     d = (
         docs.select("doc_id", toks.alias("toks"))
@@ -1301,8 +1315,12 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     (benchmarks are MBs, corpora are TBs) and should be broadcast by the
     caller; this query's %10 stand-in slice grows with the corpus, so the
     join carries no hint and AQE decides at runtime. The per-doc distinct
-    + count aggregate on (doc_id, gram) partial-aggregates map-side."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    + count aggregate on (doc_id, gram) partial-aggregates map-side.
+    r6: spread — the 8-gram explode ran in the single scan task (no-op at
+    scale)."""
+    docs = spread(
+        load(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     toks = F.array_remove(F.split(F.col("text"), _ASCII_WS), "")
     d = docs.select("doc_id", toks.alias("toks")).withColumn(
         "n", F.size("toks")
@@ -1476,8 +1494,11 @@ def q_quality_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sort-based within the agg, only 3 doubles reach the driver side of
     the plan) broadcast back -> one groupBy(bucket) over 4 keys. The
     4-row output sort is trivial. avg rounds to 4 like every float
-    aggregate (double-sum order drift is far below 1e-4 at any count)."""
-    docs = load(spark, sf_dir, "documents")
+    aggregate (double-sum order drift is far below 1e-4 at any count).
+    r6: spread — the three score regexes run twice over the corpus (th +
+    binning side) and both passes sat in the single scan task (no-op at
+    scale)."""
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     length = F.length("text")
     punct = F.length(F.regexp_replace("text", "[^!-/:-@\\[-`{-~]", ""))
     upper = F.length(F.regexp_replace("text", "[^A-Z]", ""))

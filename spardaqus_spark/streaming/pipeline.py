@@ -210,7 +210,9 @@ def stateful_user_totals(events_stream: "DataFrame") -> "DataFrame":
     )
 
 
-def minhash_candidate_stream(docs_stream: "DataFrame") -> "DataFrame":
+def minhash_candidate_stream(
+    docs_stream: "DataFrame", state_ttl_ms: int | None = None
+) -> "DataFrame":
     """Streaming near-dup candidate detection (r4): the batch MinHash-LSH
     path lifted into Structured Streaming — the op an ingestion pipeline
     needs to flag near-dups AT ARRIVAL instead of in a nightly batch.
@@ -228,9 +230,19 @@ def minhash_candidate_stream(docs_stream: "DataFrame") -> "DataFrame":
     Contracts: a pair colliding in multiple bands emits once per
     colliding band — downstream consumers run the same dropDuplicates
     the batch path runs (the idempotent-consumer convention). State per
-    bucket is O(members x N_HASHES) longs; production bounds it with a
-    TTL timeout (the same watermark-horizon argument as dedup_stream) —
-    NoTimeout here because the tests replay finite corpora."""
+    bucket is O(members x N_HASHES) longs.
+
+    r6 (VERDICT r05 #3, opt guide §5 — bound per-key state): the
+    production TTL bound is now CODE, not prose. ``state_ttl_ms`` set ->
+    ProcessingTimeTimeout: every bucket update re-arms an idle timer;
+    a bucket that sees no arrival for the TTL window is dropped whole
+    (members can no longer pair with it — the same horizon argument as
+    dedup_stream's watermark: near-dups arrive close together in
+    ingestion time, so an idle bucket's members have left the match
+    window). Default ``None`` keeps the exact r5 NoTimeout behavior —
+    the finite-corpus tests and the batch-parity pin replay without a
+    clock in the loop; expiry is covered by its own test
+    (tests/test_streaming.py::test_minhash_stream_state_ttl_expires)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -245,6 +257,11 @@ def minhash_candidate_stream(docs_stream: "DataFrame") -> "DataFrame":
     )
 
     def fn(key, pdfs, state):
+        # TTL expiry: a bucket idle past state_ttl_ms arrives here with
+        # hasTimedOut and no rows — drop its state entirely
+        if state_ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
         # state layout: parallel id list + flattened sig longs (nested
         # array<array<..>> state round-trips awkwardly through the state
         # UnsafeRow; flat + N_HASHES stride is unambiguous)
@@ -289,6 +306,10 @@ def minhash_candidate_stream(docs_stream: "DataFrame") -> "DataFrame":
         keep = (gi < gj) & (E >= 0.5)
         ii, jj = np.nonzero(keep)
         state.update((aid.tolist(), A.ravel().tolist()))
+        if state_ttl_ms is not None:
+            # re-arm the idle timer on every update (ProcessingTimeTimeout
+            # requires an explicit duration per touched group per batch)
+            state.setTimeoutDuration(int(state_ttl_ms))
         if len(ii):
             yield pd.DataFrame(
                 {
@@ -302,12 +323,17 @@ def minhash_candidate_stream(docs_stream: "DataFrame") -> "DataFrame":
                 }
             )
 
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if state_ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return bands.groupBy("band", "bh").applyInPandasWithState(
         fn,
         "d1 bigint, d2 bigint, est_jaccard double",
         "ids array<bigint>, sigs array<bigint>",
         "append",
-        GroupStateTimeout.NoTimeout,
+        timeout,
     )
 
 
