@@ -40,83 +40,29 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's CORRECTNESS harness records at most 50
     # entries per round (observed r1: 45/55, r2: 50/60, r3: 50/69, r4:
-    # 50/72 — see BASELINE.md "Driver harness observations"), so entries
-    # needing fresh driver evidence go FIRST.  r5 rotation (VERDICT r04
-    # item 1):
-    #   1-5   the entries whose PLANS changed in the r4 shared-template
-    #         refactors (276061d, b7ec6b5) after their last driver rows —
-    #         embedding_near_dup / sequence_packing / stratified_sample /
-    #         near_dedup_keep / dedup_clusters — post-refactor evidence
-    #         is the round's top priority;
-    #   6-23  the rest of the r3-evidence tail the r4 cap rotated out;
-    #   24    streaming_band_profile, new r5 (first driver row);
-    #   25+   everything green in CORRECTNESS_r04, freshest evidence last
-    #         (73 entries; the cap lands after embedding_dedup_keep at
-    #         position 50 — corpus_build got fresh r4 evidence, so its
-    #         rotation out is the intended cost of the new entry).
+    # 50/72, r5: 50/73 — see BASELINE.md "Driver harness observations"),
+    # so entries needing fresh driver evidence go FIRST.  r6 rotation
+    # (VERDICT r05 item 1 + this round's optimization pass):
+    #   1     corpus_build — the flagship composite, last driver row r4;
+    #   2-23  the 22 relational tail entries the r5 cap rotated out
+    #         (three of them — pricing/top_revenue/region — also carry
+    #         r6 plan changes);
+    #   24-41 every remaining entry whose PLAN changed in the r6
+    #         optimization round (exact-cosine matmul twin, spread scans,
+    #         graphops convergence rewrite, n_bucket_pairs integer
+    #         arithmetic) — post-optimization driver evidence;
+    #   42-50 the r5 head entries not already placed, oldest-evidence
+    #         first;
+    #   51-73 unchanged entries with fresh r4/r5 rows, freshest last.
     return {
-        # --- plans changed in r4 refactors after last driver rows ---
-        "embedding_near_dup": QT.q_embedding_near_dup,
-        "sequence_packing": QT.q_sequence_packing,
-        "stratified_sample": QT.q_stratified_sample,
-        "near_dedup_keep": QT.q_near_dedup_keep,
-        "dedup_clusters": QT.q_dedup_clusters,
-        # --- r3-evidence tail (rotated out by the r4 50-cap) ---
-        "tumbling_hourly": Q.q_tumbling_hourly,
-        "sliding_windows": Q.q_sliding_windows,
-        "full_outer_ranked": Q.q_full_outer_ranked,
-        "collect_set_sorted": Q.q_collect_set_sorted,
-        "cardinality_sketches": Q.q_cardinality_sketches,
-        "global_sort_limit": Q.q_global_sort_limit,
-        "skew_salted_join": Q.q_skew_salted_join,
-        "mode_any_value": Q.q_mode_any_value,
-        "salted_two_phase_agg": Q.q_salted_two_phase_agg,
-        "struct_udf_stats": QT.q_struct_udf_stats,
-        "arrow_byte_stats": QT.q_map_in_arrow_bytes,
-        "pipeline_documents": QM.q_pipeline_documents,
-        "simhash_buckets": QM.q_simhash_buckets,
-        "train_val_split": QT.q_train_val_split,
-        "repetition_metrics": QT.q_repetition_metrics,
-        "decontamination": QT.q_decontamination,
-        "mixing_weights": QT.q_mixing_weights,
-        "quality_binning": QT.q_quality_binning,
-        # --- new r5: rows-only registry surface for the streaming
-        #     near-dup path (bucket profile via the SHARED band_frame
-        #     construction; stream==batch pinned in test_streaming) ---
-        "streaming_band_profile": QM.q_streaming_band_profile,
-        # --- green in CORRECTNESS_r04, freshest evidence last ---
-        "doc_line_metrics": QT.q_doc_line_metrics,
-        "token_count": QT.q_token_count,
-        "bpe_token_count": QT.q_bpe_token_count,
-        "rolling_fingerprint": QT.q_rolling_fingerprint,
-        "quality_score": QT.q_quality_score,
-        "lang_stopword_heuristic": QT.q_lang_stopword_heuristic,
-        "fingerprint": QT.q_fingerprint,
-        "dedup_exact_docs": QT.q_dedup_exact_docs,
-        "ngram_jaccard_pairs": QT.q_ngram_jaccard_pairs,
-        "boilerplate_tokens": QT.q_boilerplate_tokens,
-        "boilerplate_scalable": QT.q_boilerplate_scalable,
-        "trimmed_mean_grouped_agg": Q.q_trimmed_mean_grouped_agg,
-        "embedding_norms": QT.q_embedding_norms,
-        "cosine_topk": QT.q_cosine_topk,
-        "median_stats": QT.q_median_stats,
-        "explode_array_funcs": QT.q_explode_array_funcs,
-        "scalar_udf_vowels": QT.q_scalar_pandas_udf_vowels,
-        "scalar_iter_udf_density": QT.q_scalar_iter_udf_density,
-        "multimodal_features": QM.q_multimodal_features,
-        "multimodal_resize": QM.q_multimodal_resize,
-        "multimodal_frame_sample": QM.q_multimodal_frame_sample,
-        "minhash_lsh_pairs": QM.q_minhash_lsh_pairs,
-        "ann_lsh_cosine": QM.q_ann_lsh_checked,
-        "ann_ivf_cosine": QM.q_ann_ivf_checked,
-        "near_dup_source_stats": QT.q_near_dup_source_stats,
-        "embedding_dedup_keep": QT.q_embedding_dedup_keep,
-        # --- beyond the 50-cap this round (all green in r4) ---
+        # --- flagship composite (r4 evidence; r6 inherits ngram spread +
+        #     graphops rewrite through its shared fragments) ---
         "corpus_build": QT.q_corpus_build,
-        "having_filter": Q.q_having_filter,
+        # --- relational tail rotated out by the r5 cap (r4 evidence) ---
         "pricing_summary": Q.q_pricing_summary,
         "top_revenue_orders": Q.q_top_revenue_orders,
         "region_revenue": Q.q_region_revenue,
+        "having_filter": Q.q_having_filter,
         "outer_join_nulls": Q.q_outer_join_nulls,
         "semi_join": Q.q_semi_join,
         "anti_join": Q.q_anti_join,
@@ -135,6 +81,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_funcs": Q.q_string_funcs,
         "conditional_pivot": Q.q_conditional_pivot,
         "sessionize": Q.q_sessionize,
+        # --- plans changed in the r6 optimization round ---
+        "embedding_near_dup": QT.q_embedding_near_dup,
+        "ann_lsh_cosine": QM.q_ann_lsh_checked,
+        "ann_ivf_cosine": QM.q_ann_ivf_checked,
+        "embedding_dedup_keep": QT.q_embedding_dedup_keep,
+        "near_dedup_keep": QT.q_near_dedup_keep,
+        "dedup_clusters": QT.q_dedup_clusters,
+        "minhash_lsh_pairs": QM.q_minhash_lsh_pairs,
+        "ngram_jaccard_pairs": QT.q_ngram_jaccard_pairs,
+        "near_dup_source_stats": QT.q_near_dup_source_stats,
+        "cosine_topk": QT.q_cosine_topk,
+        "median_stats": QT.q_median_stats,
+        "rolling_fingerprint": QT.q_rolling_fingerprint,
+        "repetition_metrics": QT.q_repetition_metrics,
+        "decontamination": QT.q_decontamination,
+        "quality_binning": QT.q_quality_binning,
+        "simhash_buckets": QM.q_simhash_buckets,
+        "pipeline_documents": QM.q_pipeline_documents,
+        "streaming_band_profile": QM.q_streaming_band_profile,
+        # --- r5 head entries not already placed (oldest evidence first) ---
+        "sequence_packing": QT.q_sequence_packing,
+        "stratified_sample": QT.q_stratified_sample,
+        "tumbling_hourly": Q.q_tumbling_hourly,
+        "sliding_windows": Q.q_sliding_windows,
+        "full_outer_ranked": Q.q_full_outer_ranked,
+        "collect_set_sorted": Q.q_collect_set_sorted,
+        "cardinality_sketches": Q.q_cardinality_sketches,
+        "global_sort_limit": Q.q_global_sort_limit,
+        "skew_salted_join": Q.q_skew_salted_join,
+        # --- beyond the 50-cap this round: unchanged, fresh r5 rows ---
+        "mode_any_value": Q.q_mode_any_value,
+        "salted_two_phase_agg": Q.q_salted_two_phase_agg,
+        "struct_udf_stats": QT.q_struct_udf_stats,
+        "arrow_byte_stats": QT.q_map_in_arrow_bytes,
+        "train_val_split": QT.q_train_val_split,
+        "mixing_weights": QT.q_mixing_weights,
+        "doc_line_metrics": QT.q_doc_line_metrics,
+        "token_count": QT.q_token_count,
+        "bpe_token_count": QT.q_bpe_token_count,
+        "quality_score": QT.q_quality_score,
+        "lang_stopword_heuristic": QT.q_lang_stopword_heuristic,
+        "fingerprint": QT.q_fingerprint,
+        "dedup_exact_docs": QT.q_dedup_exact_docs,
+        "boilerplate_tokens": QT.q_boilerplate_tokens,
+        "boilerplate_scalable": QT.q_boilerplate_scalable,
+        "trimmed_mean_grouped_agg": Q.q_trimmed_mean_grouped_agg,
+        "embedding_norms": QT.q_embedding_norms,
+        "explode_array_funcs": QT.q_explode_array_funcs,
+        "scalar_udf_vowels": QT.q_scalar_pandas_udf_vowels,
+        "scalar_iter_udf_density": QT.q_scalar_iter_udf_density,
+        "multimodal_features": QM.q_multimodal_features,
+        "multimodal_resize": QM.q_multimodal_resize,
+        "multimodal_frame_sample": QM.q_multimodal_frame_sample,
     }
 
 

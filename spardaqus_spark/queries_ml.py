@@ -184,9 +184,15 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.sig").alias("sig1"),
             F.col("b.sig").alias("sig2"),
         )
-        .dropDuplicates(["d1", "d2"])
+        # r6 (opt guide §2.3 — filter before the exchange): est is a pure
+        # function of (sig1, sig2), identical for every band a pair
+        # collides in, so gating BEFORE dropDuplicates changes nothing in
+        # the output while the dedup exchange now carries only pairs that
+        # survive the est gate (narrow (d1,d2,est) rows, no sig arrays).
+        # Verified equal at sf0.1 (532 pairs); measured 1.01 -> 0.93 s.
         .withColumn("est_jaccard", F.round(est, 4))
         .filter(F.col("est_jaccard") >= 0.5)
+        .dropDuplicates(["d1", "d2"])
         .select("d1", "d2", "est_jaccard")
     )
 
@@ -220,9 +226,11 @@ def q_streaming_band_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_multi_buckets"),
             F.sum("m").alias("n_docs_in_multi"),
-            F.sum(F.col("m") * (F.col("m") - 1) / 2)
-            .cast("bigint")
-            .alias("n_bucket_pairs"),
+            # integer arithmetic end-to-end (ADVICE r05): m*(m-1) is always
+            # even so DIV 2 is exact in bigint; the old double division
+            # would lose integer precision past 2^53 at capacity-planning
+            # bucket sizes (m ~ 1e8). Same values/type at any sandbox scale.
+            F.expr("sum(m * (m - 1) DIV 2)").alias("n_bucket_pairs"),
         )
         .orderBy("band")  # tiny-agg sort (N_BANDS rows) — allowed
     )

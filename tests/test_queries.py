@@ -97,37 +97,54 @@ def test_queries_order_puts_unevidenced_first():
     """The driver harness records at most 50 queries per round (BASELINE.md
     'Driver harness observations'), so entries needing fresh driver
     evidence MUST stay first in queries() — guard the dict insertion order
-    against accidental reshuffles.  r5 (VERDICT r04 item 1): the five
-    entries whose plans changed in the r4 shared-template refactors after
-    their last driver rows, then the r3-evidence tail the r4 cap rotated
-    out, then the new streaming_band_profile (first driver row)."""
-    first24 = list(entrymod.queries())[:24]
-    assert first24 == [
+    against accidental reshuffles.  r6 (VERDICT r05 item 1 + optimization
+    round): corpus_build leads, then the 22 relational tail entries the r5
+    cap rotated out, then every entry whose plan changed in the r6
+    optimization pass."""
+    first41 = list(entrymod.queries())[:41]
+    assert first41 == [
+        "corpus_build",
+        "pricing_summary",
+        "top_revenue_orders",
+        "region_revenue",
+        "having_filter",
+        "outer_join_nulls",
+        "semi_join",
+        "anti_join",
+        "range_join",
+        "asof_last_signup",
+        "window_topk",
+        "window_running",
+        "window_moving_avg",
+        "rollup_slices",
+        "cube_regions",
+        "set_ops",
+        "percentiles",
+        "corr_stats",
+        "json_extract",
+        "date_trunc_monthly",
+        "string_funcs",
+        "conditional_pivot",
+        "sessionize",
         "embedding_near_dup",
-        "sequence_packing",
-        "stratified_sample",
+        "ann_lsh_cosine",
+        "ann_ivf_cosine",
+        "embedding_dedup_keep",
         "near_dedup_keep",
         "dedup_clusters",
-        "tumbling_hourly",
-        "sliding_windows",
-        "full_outer_ranked",
-        "collect_set_sorted",
-        "cardinality_sketches",
-        "global_sort_limit",
-        "skew_salted_join",
-        "mode_any_value",
-        "salted_two_phase_agg",
-        "struct_udf_stats",
-        "arrow_byte_stats",
-        "pipeline_documents",
-        "simhash_buckets",
-        "train_val_split",
+        "minhash_lsh_pairs",
+        "ngram_jaccard_pairs",
+        "near_dup_source_stats",
+        "cosine_topk",
+        "median_stats",
+        "rolling_fingerprint",
         "repetition_metrics",
         "decontamination",
-        "mixing_weights",
         "quality_binning",
+        "simhash_buckets",
+        "pipeline_documents",
         "streaming_band_profile",
-    ], first24
+    ], first41
 
 
 def test_entry_smoke(spark):
