@@ -452,10 +452,13 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (rule-threshold calibration pattern).
     r6: spread — exact percentile buffers every group value, and the
     single-row-group sandbox scan put all 600k rows in ONE partial-agg
-    task (no-op at scale; measured noop 1.90 -> 1.20 s)."""
+    task (no-op at scale; measured noop 1.90 -> 1.20 s). Spread key is
+    the HIGH-cardinality value column, not the 3-value group key — a
+    group-key repartition would be reused by the groupBy and concentrate
+    the whole shuffle onto #groups tasks."""
     li = spread(
         load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice"),
-        "l_returnflag",
+        "l_extendedprice",
     )
     return li.groupBy("l_returnflag").agg(
         F.round(F.percentile("l_extendedprice", 0.5), 4).alias("p50"),
