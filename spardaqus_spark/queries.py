@@ -747,8 +747,13 @@ GROUP BY r_name
 def q_cardinality_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approx_count_distinct next to the exact count (10^12-scale
     cardinality pattern, §2.2). Rows-only: sketch estimates are
-    implementation-specific by nature."""
-    li = load(spark, sf_dir, "lineitem")
+    implementation-specific by nature.
+    r6: spread — the HLL sketch + exact-distinct partials ran in the one
+    scan task (no-op at scale; measured noop 1.12 -> 0.64 s)."""
+    li = spread(
+        load(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey"),
+        "l_partkey",
+    )
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
